@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count-style action (write to noop sink
+semantics: we force full materialization via collect of an aggregated
+summary) so timing covers the whole plan, not just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "w2_stationary_intervals",
+    "w1_ap_transitions",
+    "w5_hourly_buckets",
+    "a1_timestamp_pivot",
+    "j1_union_dedupe_merge",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+    from matt3r_data_ingestion_serverless_spark import get_spark
+    from matt3r_data_ingestion_serverless_spark.plans import all_queries
+
+    spark = get_spark("matt3r-dpl-spark-bench")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+    # include all registered queries beyond the headline list
+    names += [n for n in sorted(registry) if n not in names]
+
+    # warm the JVM + file listing once
+    registry[names[0]][0](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn, _ = registry[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "total_query_time",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,15 @@
+"""Query registry: every operator from SURVEY.md §2 is exposed as a
+named query over the driver test tables, paired with an ANSI-SQL oracle
+(DuckDB) when the semantics are SQL-expressible.
+
+The driver contract (__spark_entry__.py) reads this registry.
+"""
+
+from __future__ import annotations
+
+from matt3r_data_ingestion_serverless_spark.plans.registry import QUERIES, all_queries, register
+
+# Import for side effect: each module registers its queries.
+from matt3r_data_ingestion_serverless_spark.plans import telemetry  # noqa: F401,E402
+
+__all__ = ["QUERIES", "all_queries", "register"]

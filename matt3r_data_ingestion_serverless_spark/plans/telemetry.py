@@ -1,0 +1,304 @@
+"""Telemetry-analytic queries over the `events` table — the reference's
+analytic core re-expressed on the driver fixtures (FIXTURES.md §A):
+`value` plays the speed channel, `event_type` the ap-state channel,
+`user_id` the device id.
+
+Coverage: SURVEY.md §2.5 W1 (transitions), W2+W4 (zero-run
+sessionization + trim), W5/W6 (tumbling buckets), §2.4 A2/A3/A5,
+§2.2 P1/P2, §2.3 D8/D10/D11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from matt3r_data_ingestion_serverless_spark.operators.autopilot import ap_transitions
+from matt3r_data_ingestion_serverless_spark.operators.stationary import stationary_intervals
+from matt3r_data_ingestion_serverless_spark.plans.registry import register
+from matt3r_data_ingestion_serverless_spark.sources.tables import load_table
+
+# event_type → state code, standing in for AP_STATE_DICT
+# (infer_autopilot_states.py:22-23). 'purchase' plays ACTIVE_NOMINAL=3.
+EVENT_CODE = {"view": 0, "click": 1, "signup": 2, "purchase": 3, "error": 4}
+
+_CODE_CASE_SQL = (
+    "CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 WHEN 'signup' THEN 2 "
+    "WHEN 'purchase' THEN 3 WHEN 'error' THEN 4 END"
+)
+
+STATIONARY_THRESHOLD = 50.0
+STATIONARY_MIN_DUR_S = 900.0  # events are minutes apart; 13 s scaled up
+STATIONARY_TRIM_S = 3.0
+
+
+def _event_code_col():
+    expr = F.lit(None).cast("int")
+    for name, code in EVENT_CODE.items():
+        expr = F.when(F.col("event_type") == name, F.lit(code)).otherwise(expr)
+    return expr
+
+
+@register(
+    "w2_stationary_intervals",
+    sql=f"""
+WITH z AS (
+  SELECT user_id, ts,
+         CASE WHEN value <= {STATIONARY_THRESHOLD} THEN 1 ELSE 0 END AS zz
+  FROM events
+), c AS (
+  SELECT user_id, ts, zz,
+         CASE WHEN zz <> lag(zz, 1, -1) OVER (PARTITION BY user_id ORDER BY ts)
+              THEN 1 ELSE 0 END AS chg
+  FROM z
+), r AS (
+  SELECT user_id, ts, zz,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM c
+), g AS (
+  SELECT user_id, min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+  FROM r WHERE zz = 1 GROUP BY user_id, run_id
+)
+SELECT user_id,
+       s_us + {int(STATIONARY_TRIM_S * 1e6)} AS start_us,
+       e_us - {int(STATIONARY_TRIM_S * 1e6)} AS end_us,
+       round((e_us - s_us) / 1e6, 6) AS duration_s
+FROM g
+WHERE e_us - s_us >= {int(STATIONARY_MIN_DUR_S * 1e6)}
+""",
+)
+def w2_stationary_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 zero-run sessionization (infer_stationary_states.py:81-106)."""
+    events = load_table(spark, sf_dir, "events")
+    return stationary_intervals(
+        events,
+        key="user_id",
+        ts="ts",
+        speed="value",
+        zero_threshold=STATIONARY_THRESHOLD,
+        min_duration_s=STATIONARY_MIN_DUR_S,
+        trim_s=STATIONARY_TRIM_S,
+    )
+
+
+@register(
+    "w1_ap_transitions",
+    sql=f"""
+WITH coded AS (
+  SELECT user_id, ts, {_CODE_CASE_SQL} AS code FROM events
+), lagged AS (
+  SELECT user_id, ts, code,
+         lag(code, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM coded
+)
+SELECT user_id, epoch_us(ts) AS ts_us,
+       CASE WHEN code = 3 AND prev <= 2 THEN 'engagement'
+            ELSE 'disengagement' END AS status,
+       CAST(code AS DOUBLE) AS canbus_state
+FROM lagged
+WHERE (code = 3 AND prev <= 2) OR (code <= 2 AND prev = 3)
+""",
+)
+def w1_ap_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 lag transition detection (infer_autopilot_states.py:78-88)."""
+    events = load_table(spark, sf_dir, "events").withColumn("code", _event_code_col())
+    return ap_transitions(events, key="user_id", ts="ts", code="code")
+
+
+@register(
+    "w5_hourly_buckets",
+    sql="""
+SELECT user_id,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket,
+       count(*) AS n_samples,
+       round(avg(value), 6) AS avg_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY 1, 2
+""",
+)
+def w5_hourly_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/A2 hourly tumbling bucket (parse_canserver_filtered_log.py:22-54):
+    the reference's sort + binary-search hour slicing becomes one hash
+    aggregate — map-side partials, no sort, no driver loop."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        "user_id",
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias("bucket"),
+    ).agg(
+        F.count("*").alias("n_samples"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+@register(
+    "w6_daily_event_counts",
+    sql="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def w6_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 daily tumbling bucket (infer_stationary_states.py:74-79)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@register(
+    "p2_membership_filter",
+    sql="""
+SELECT event_id, user_id, event_type, round(value, 6) AS value_r
+FROM events
+WHERE event_type IN ('purchase', 'signup') AND value > 100.0
+""",
+)
+def p2_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 predicate filters (frame-id membership,
+    parse_canserver_filtered_log.py:108,264). Both predicates push down
+    to the parquet scan."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type").isin("purchase", "signup") & (F.col("value") > 100.0))
+        .select("event_id", "user_id", "event_type", F.round("value", 6).alias("value_r"))
+    )
+
+
+@register(
+    "d11_json_extract",
+    sql="""
+SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_value
+FROM events
+WHERE CAST(props->>'k' AS BIGINT) >= 90
+""",
+)
+def d11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 JSON deserialize (json.loads → from_json/get_json_object)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return events.select("event_id", k.alias("k_value")).filter(F.col("k_value") >= 90)
+
+
+@register(
+    "a3_distinct_sorted_keys",
+    sql="""
+SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+""",
+)
+def a3_distinct_sorted_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/O2 distinct + sort of bucket keys
+    (parse_canserver_filtered_log.py:37)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select("user_id", "event_type").distinct().orderBy("user_id", "event_type")
+
+
+@register(
+    "a5_series_extent",
+    sql="""
+SELECT user_id, min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+       count(*) AS n
+FROM events GROUP BY user_id
+""",
+)
+def a5_series_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 first/last of series — the reference's iloc[0]/iloc[-1] on a
+    time-ordered frame is min/max (parse_canserver_filtered_log.py:335-338)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts"))).alias("first_us"),
+        F.max(F.unix_micros(F.col("ts"))).alias("last_us"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "a1_timestamp_pivot",
+    sql="""
+SELECT user_id,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket,
+       round(avg(value) FILTER (WHERE event_type = 'view'), 6) AS view_avg,
+       round(avg(value) FILTER (WHERE event_type = 'click'), 6) AS click_avg,
+       round(avg(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase_avg,
+       round(avg(value) FILTER (WHERE event_type = 'signup'), 6) AS signup_avg,
+       round(avg(value) FILTER (WHERE event_type = 'error'), 6) AS error_avg
+FROM events GROUP BY 1, 2
+""",
+)
+def a1_timestamp_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 long→wide pivot (parse_canserver_filtered_log.py:268-289): the
+    reference's epoch_dict cell-merge is a conditional aggregation;
+    explicit channel list keeps it one pass with map-side partials."""
+    events = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.round(F.avg(F.when(F.col("event_type") == t, F.col("value"))), 6).alias(f"{t}_avg")
+        for t in ("view", "click", "purchase", "signup", "error")
+    ]
+    return events.groupBy(
+        "user_id",
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias("bucket"),
+    ).agg(*aggs)
+
+
+@register(
+    "j1_union_dedupe_merge",
+    sql="""
+WITH old AS (
+  SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 3 = 0
+), new AS (
+  SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 2 = 0
+)
+SELECT event_id, user_id, event_type, round(value, 6) AS value_r
+FROM (SELECT DISTINCT * FROM (SELECT * FROM old UNION ALL SELECT * FROM new))
+""",
+)
+def j1_union_dedupe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-J3 merge upsert (parse_canserver_filtered_log.py:327-344): the
+    reference's ordered-concat + overlap-skip becomes idempotent
+    unionByName + dropDuplicates — re-delivering a batch is a no-op
+    (SQS at-least-once, T3). Overlapping halves simulate re-delivery."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    old = events.filter(F.col("event_id") % 3 == 0)
+    new = events.filter(F.col("event_id") % 2 == 0)
+    return (
+        old.unionByName(new)
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type", F.round("value", 6).alias("value_r"))
+    )
+
+
+@register(
+    "d10_date_parts",
+    sql="""
+SELECT event_id,
+       CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS mo,
+       CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+       strftime(ts, '%d/%m/%Y %H:%M:%S') AS ts_fmt
+FROM events WHERE event_id < 100
+""",
+)
+def d10_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8/D10 timestamp formatting + date-part derivation — the
+    reference's split(' ')/split('-') chains (parse_canserver_filtered_log.py:23-31)
+    as built-in datetime functions; the '%d/%m/%Y %H:%M:%S' output
+    format matches timestamp2string (infer_stationary_states.py:30-37)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") < 100).select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.date_format("ts", "dd/MM/yyyy HH:mm:ss").alias("ts_fmt"),
+    )

@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test harness; the conf below is written so the same
+code runs unchanged on a multi-executor cluster:
+
+- AQE on (runtime coalesce + skew-join splitting) so shuffle partition
+  counts self-tune at 100 TB instead of being hand-picked here.
+- shuffle.partitions matches local cores for the small-SF harness; on a
+  real cluster AQE coalesces from a higher initial number anyway.
+- Arrow enabled: the CANServer decoder and multimodal stubs are
+  mapInPandas, so Arrow batch transfer is the Python boundary.
+- session timezone pinned to UTC: timestamps compare bit-stable against
+  the DuckDB oracle and across clusters in different zones.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "matt3r-dpl-spark", extra_conf: dict | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has
+        # no nanos timestamp — read as long and convert at the source
+        # (sources/tables.py) with integer division, never double math
+        # (epoch-nanos exceeds double's 53-bit mantissa).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
