@@ -1,0 +1,292 @@
+"""CANServer v2 binary log source (SURVEY.md §2.1 S1–S5, §2.3 D1–D5).
+
+Decodes the reference's proprietary binary CAN-bus log format
+(parse_canserver_filtered_log.py:186-293) into a long-format typed
+signal table. The byte-level record scan is inherently sequential per
+file, so it runs as ONE Python pass per file inside ``mapInPandas``
+over ``spark.read.format("binaryFile")`` — files are the parallelism
+unit, exactly like the reference's one-Lambda-per-file model, but
+scheduled by Spark across executors. Everything downstream of the scan
+(bit-slicing, scaling, enum mapping) is vectorized numpy over Arrow
+batches, then pure DataFrame ops.
+
+Record grammar (parse_canserver_filtered_log.py:202-293):
+
+    file    := MAGIC record*
+    MAGIC   := b"CANSERVER_v2_CANSERVER"          (22 bytes, :191)
+    record  := 'C' MAGIC[1:]                       embedded header, skipped (:206-223)
+             | 0xCD u8 n, ascii[n]                 mark message (:224-232)
+             | 0xCE u64le epoch_us                 time sync     (:234-241)
+             | 0xCF u16le offset_ms u16le frame_id
+               u8 (bus<<4 | len) payload[min(len,8)]  CAN frame  (:243-263)
+             | any other byte                      skipped
+
+Frame timestamp = last_sync_us + offset_ms*1000 (:250-252,265).
+
+Signal decode (constants :111-117, layouts :146-184):
+    273 accelerometer  3×int16le × 0.00125                → m/s²
+    257 angular_vel    yaw=int16le×1e-4;
+                       pitch=s15((b3&0x7f)<<8 | b2)×2.5e-4;
+                       roll =s15((b5&0x3f)<<9 | b4<<1 | b3>>7)×2.5e-4  → rad/s
+    599 speed          (b2<<4 | b1>>4)×0.08 − 40.0        → KPH
+     79 gps            lat =s28((b3&0xf)<<24 | b2<<16 | b1<<8 | b0)×1e-6
+                       long=s28(b6<<20 | b5<<12 | b4<<4 | b3>>4)×1e-6  → deg
+    921 autopilot      AP_STATE_NAMES[b0 & 0xf]; unknown codes → NULL
+                       (the reference raises KeyError, :184)
+
+Frames with payloads shorter than the decode slice are dropped (the
+reference would IndexError); channel='mark' rows preserve 0xCD
+messages as a queryable superset of the reference's print-and-drop.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from matt3r_data_ingestion_serverless_spark.operators.autopilot import AP_STATE_NAMES
+
+MAGIC = b"CANSERVER_v2_CANSERVER"
+
+ACC_SCALE = 0.00125
+YAW_SCALE = 0.0001
+PITCH_ROLL_SCALE = 0.00025
+SPEED_SCALE = 0.08
+SPEED_OFFSET = -40.0
+GNSS_FACTOR = 1e-6
+
+CHANNEL_BY_FRAME = {273: "accel", 257: "gyro", 79: "location", 599: "speed", 921: "ap_status"}
+MIN_PAYLOAD = {273: 6, 257: 6, 79: 7, 599: 3, 921: 1}
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("device_id", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("bus_id", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+SIGNAL_SCHEMA = T.StructType(
+    [
+        T.StructField("device_id", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("channel", T.StringType()),
+        T.StructField("values", T.ArrayType(T.DoubleType())),
+        T.StructField("state", T.StringType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# fixture encoder (tests build golden byte streams with this)
+# ---------------------------------------------------------------------------
+
+
+def encode_header() -> bytes:
+    return MAGIC
+
+
+def encode_sync(epoch_us: int) -> bytes:
+    return b"\xce" + struct.pack("<Q", epoch_us)
+
+
+def encode_mark(message: str) -> bytes:
+    raw = message.encode("ascii")
+    return b"\xcd" + bytes([len(raw)]) + raw
+
+
+def encode_frame(offset_ms: int, frame_id: int, payload: bytes, bus_id: int = 0) -> bytes:
+    pack = ((bus_id & 0xF) << 4) | (len(payload) & 0xF)
+    return b"\xcf" + struct.pack("<HHB", offset_ms, frame_id, pack) + payload
+
+
+# ---------------------------------------------------------------------------
+# scanner: bytes → frame records
+# ---------------------------------------------------------------------------
+
+
+def scan_records(data: bytes) -> Iterator[tuple]:
+    """Yield ('frame', ts_us, frame_id, bus_id, payload) and
+    ('mark', ts_us, text) records from a CANServer v2 byte stream.
+
+    Raises ValueError when the 22-byte magic header is absent (S2).
+    """
+    if len(data) < 22 or data[:22] != MAGIC:
+        raise ValueError("not a valid CANServer v2 file")
+    pos = 22
+    n = len(data)
+    last_sync = 0
+    while pos < n:
+        tag = data[pos]
+        pos += 1
+        if tag == 0x43:  # 'C' — possible embedded header from file concatenation
+            if data[pos : pos + 21] == MAGIC[1:]:
+                pos += 21
+            # else: rewound — continue scanning from the next byte
+        elif tag == 0xCD:
+            if pos >= n:
+                break
+            size = data[pos]
+            pos += 1
+            if pos + size > n:
+                break
+            yield ("mark", last_sync, data[pos : pos + size].decode("ascii", "replace"))
+            pos += size
+        elif tag == 0xCE:
+            if pos + 8 > n:
+                break
+            last_sync = struct.unpack_from("<Q", data, pos)[0]
+            pos += 8
+        elif tag == 0xCF:
+            if pos + 5 > n:
+                break
+            offset_ms, frame_id, pack = struct.unpack_from("<HHB", data, pos)
+            pos += 5
+            length = min(pack & 0x0F, 8)
+            bus_id = (pack & 0xF0) >> 4
+            if pos + length > n:
+                break
+            yield (
+                "frame",
+                last_sync + offset_ms * 1000,
+                frame_id,
+                bus_id,
+                data[pos : pos + length],
+            )
+            pos += length
+        # other bytes: noise between records — skip (matches reference scan)
+
+
+def decode_frames(data: bytes, device_id: str = "") -> pd.DataFrame:
+    """Binary stream → bronze frame table (one row per 0xCF record)."""
+    rows = [(device_id, r[1], r[2], r[3], r[4]) for r in scan_records(data) if r[0] == "frame"]
+    return pd.DataFrame(rows, columns=["device_id", "ts_us", "frame_id", "bus_id", "payload"])
+
+
+# ---------------------------------------------------------------------------
+# vectorized signal decode: bronze frames → long-format signals
+# ---------------------------------------------------------------------------
+
+
+def _payload_matrix(payloads: pd.Series) -> np.ndarray:
+    """N×8 uint16 matrix, zero-padded (uint16 so shifts don't overflow)."""
+    mat = np.zeros((len(payloads), 8), dtype=np.uint16)
+    for i, p in enumerate(payloads):
+        b = np.frombuffer(p, dtype=np.uint8)
+        mat[i, : len(b)] = b
+    return mat
+
+
+def _sign_extend(x: np.ndarray, bits: int) -> np.ndarray:
+    x = x.astype(np.int64)
+    sign = np.int64(1) << (bits - 1)
+    return (x ^ sign) - sign
+
+
+def frames_to_signals(frames: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized D1–D5 decode; returns long-format signal rows."""
+    out: list[pd.DataFrame] = []
+    frames = frames[frames["payload"].map(len) >= frames["frame_id"].map(MIN_PAYLOAD).fillna(99)]
+
+    def emit(sub: pd.DataFrame, channel: str, values: list | None, state=None) -> None:
+        if len(sub) == 0:
+            return
+        out.append(
+            pd.DataFrame(
+                {
+                    "device_id": sub["device_id"].to_numpy(),
+                    "ts_us": sub["ts_us"].to_numpy(),
+                    "channel": channel,
+                    "values": values if values is not None else [None] * len(sub),
+                    "state": state if state is not None else [None] * len(sub),
+                }
+            )
+        )
+
+    for fid, sub in frames.groupby("frame_id"):
+        if fid not in CHANNEL_BY_FRAME:
+            continue
+        m = _payload_matrix(sub["payload"])
+        b = m.astype(np.int64)
+        if fid == 273:
+            vals = [
+                _sign_extend(b[:, 0] | (b[:, 1] << 8), 16) * ACC_SCALE,
+                _sign_extend(b[:, 2] | (b[:, 3] << 8), 16) * ACC_SCALE,
+                _sign_extend(b[:, 4] | (b[:, 5] << 8), 16) * ACC_SCALE,
+            ]
+            emit(sub, "accel", list(map(list, zip(*[v.tolist() for v in vals]))))
+        elif fid == 257:
+            yaw = _sign_extend(b[:, 0] | (b[:, 1] << 8), 16) * YAW_SCALE
+            pitch = _sign_extend(((b[:, 3] & 0x7F) << 8) | b[:, 2], 15) * PITCH_ROLL_SCALE
+            roll = (
+                _sign_extend(((b[:, 5] & 0x3F) << 9) | (b[:, 4] << 1) | (b[:, 3] >> 7), 15)
+                * PITCH_ROLL_SCALE
+            )
+            emit(sub, "gyro", list(map(list, zip(yaw.tolist(), pitch.tolist(), roll.tolist()))))
+        elif fid == 599:
+            speed = ((b[:, 2] << 4) | (b[:, 1] >> 4)) * SPEED_SCALE + SPEED_OFFSET
+            emit(sub, "speed", [[v] for v in speed.tolist()])
+        elif fid == 79:
+            lat = (
+                _sign_extend(((b[:, 3] & 0x0F) << 24) | (b[:, 2] << 16) | (b[:, 1] << 8) | b[:, 0], 28)
+                * GNSS_FACTOR
+            )
+            lon = (
+                _sign_extend((b[:, 6] << 20) | (b[:, 5] << 12) | (b[:, 4] << 4) | (b[:, 3] >> 4), 28)
+                * GNSS_FACTOR
+            )
+            emit(sub, "location", list(map(list, zip(lat.tolist(), lon.tolist()))))
+        elif fid == 921:
+            codes = (b[:, 0] & 0x0F).tolist()
+            emit(sub, "ap_status", None, [AP_STATE_NAMES.get(c) for c in codes])
+
+    if not out:
+        return pd.DataFrame(columns=["device_id", "ts_us", "channel", "values", "state"])
+    return pd.concat(out, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Spark sources
+# ---------------------------------------------------------------------------
+
+
+def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        for _, row in pdf.iterrows():
+            device = os.path.splitext(os.path.basename(row["path"]))[0]
+            frames = decode_frames(bytes(row["content"]), device)
+            sig = frames_to_signals(frames)
+            if len(sig):
+                sig["ts"] = pd.to_datetime(sig.pop("ts_us"), unit="us")
+                yield sig[["device_id", "ts", "channel", "values", "state"]]
+
+
+def read_canserver(spark: SparkSession, path: str) -> DataFrame:
+    """Batch source: directory of CANServer logs → long-format signals.
+
+    binaryFile scan parallelizes across files; each file decodes in one
+    task (the format is a sequential tagged stream — same constraint the
+    reference works under, parse_canserver_filtered_log.py:202).
+    """
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    return raw.mapInPandas(_decode_partition, schema=SIGNAL_SCHEMA)
+
+
+def read_canserver_stream(spark: SparkSession, path: str, schema_dir: str | None = None) -> DataFrame:
+    """Streaming source: the serverless S3→SNS→SQS fan-out (T1/T2)
+    becomes a file-source readStream — new files are discovered natively,
+    with checkpointed exactly-once progress instead of SQS redelivery."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+    )
+    return raw.mapInPandas(_decode_partition, schema=SIGNAL_SCHEMA)
