@@ -258,35 +258,72 @@ def frames_to_signals(frames: pd.DataFrame) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        for _, row in pdf.iterrows():
-            device = os.path.splitext(os.path.basename(row["path"]))[0]
-            frames = decode_frames(bytes(row["content"]), device)
-            sig = frames_to_signals(frames)
-            if len(sig):
-                sig["ts"] = pd.to_datetime(sig.pop("ts_us"), unit="us")
-                yield sig[["device_id", "ts", "channel", "values", "state"]]
+def _device_of(path: str, device_from: str) -> str:
+    """Device/session identity. 'parent' (default) = the containing
+    directory name — the reference carries the object-key prefix through
+    as the partition identity (parse_canserver_filtered_log.py:302-304),
+    so logs of one device share a prefix; 'stem' = file name."""
+    if device_from == "parent":
+        return os.path.basename(os.path.dirname(path.removeprefix("file:")))
+    return os.path.splitext(os.path.basename(path))[0]
 
 
-def read_canserver(spark: SparkSession, path: str) -> DataFrame:
+def _decode_partition_fn(device_from: str):
+    def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                device = _device_of(row["path"], device_from)
+                try:
+                    frames = decode_frames(bytes(row["content"]), device)
+                except ValueError as exc:
+                    # bad header (S2): the reference exit(1)s the whole
+                    # Lambda (:197-198); a stream must survive one bad
+                    # object — quarantine it as a queryable row instead.
+                    yield pd.DataFrame(
+                        {
+                            "device_id": [device],
+                            "ts": [pd.Timestamp(0, unit="us")],
+                            "channel": ["_quarantine"],
+                            "values": [None],
+                            "state": [f"{row['path']}: {exc}"],
+                        }
+                    )
+                    continue
+                sig = frames_to_signals(frames)
+                if len(sig):
+                    sig["ts"] = pd.to_datetime(sig.pop("ts_us"), unit="us")
+                    yield sig[["device_id", "ts", "channel", "values", "state"]]
+
+    return _decode_partition
+
+
+def read_canserver(spark: SparkSession, path: str, device_from: str = "parent") -> DataFrame:
     """Batch source: directory of CANServer logs → long-format signals.
 
     binaryFile scan parallelizes across files; each file decodes in one
     task (the format is a sequential tagged stream — same constraint the
     reference works under, parse_canserver_filtered_log.py:202).
     """
-    raw = spark.read.format("binaryFile").load(path).select("path", "content")
-    return raw.mapInPandas(_decode_partition, schema=SIGNAL_SCHEMA)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+    return raw.mapInPandas(_decode_partition_fn(device_from), schema=SIGNAL_SCHEMA)
 
 
-def read_canserver_stream(spark: SparkSession, path: str, schema_dir: str | None = None) -> DataFrame:
+def read_canserver_stream(
+    spark: SparkSession, path: str, device_from: str = "parent"
+) -> DataFrame:
     """Streaming source: the serverless S3→SNS→SQS fan-out (T1/T2)
     becomes a file-source readStream — new files are discovered natively,
     with checkpointed exactly-once progress instead of SQS redelivery."""
     raw = (
         spark.readStream.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .schema("path string, modificationTime timestamp, length long, content binary")
         .load(path)
         .select("path", "content")
     )
-    return raw.mapInPandas(_decode_partition, schema=SIGNAL_SCHEMA)
+    return raw.mapInPandas(_decode_partition_fn(device_from), schema=SIGNAL_SCHEMA)

@@ -1,0 +1,192 @@
+"""Structured-Streaming topology (SURVEY.md §2.8, §3).
+
+The reference's event-driven chain
+
+    S3 raw → SNS → SQS → parse Lambda → landing
+                          landing → SNS → SQS → infer Lambdas → events
+
+becomes two chained streams with checkpointed exactly-once progress:
+
+    readStream(binaryFile raw/) → decode → watermark(1.2s) dedupe
+        → foreachBatch upsert → silver parquet (device/date/hour)
+    readStream(parquet silver/) → W1/W2 inference
+        → foreachBatch upsert → gold parquet (daily)
+
+``Trigger.AvailableNow`` gives the serverless-shaped scheduling: each
+invocation drains whatever new files exist, then stops — identical
+semantics to the Lambda-per-object model, minus the 10 KB queue-message
+and 600 s timeout limits (serverless.yml:179-204,72).
+
+The 1.2 s watermark reproduces the reference's in-flight reorder buffer
+(W3, parse_canserver_filtered_log.py:268-289 with MAX_SR=1.2): rows
+later than watermark are dropped from dedupe state, keeping state
+bounded no matter how long the stream runs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from matt3r_data_ingestion_serverless_spark.operators.merge import foreach_batch_upsert
+from matt3r_data_ingestion_serverless_spark.sources.canserver import read_canserver_stream
+
+REORDER_WATERMARK = "1.2 seconds"  # MAX_SR, parse_canserver_filtered_log.py:117
+
+
+def silver_signals_stream(spark: SparkSession, raw_dir: str) -> DataFrame:
+    """Stage-1 stream with in-stream dedupe: binary logs → deduplicated
+    long-format signals.
+
+    ``dropDuplicatesWithinWatermark`` on the natural key is the
+    streaming form of the reference's epoch_dict bounded-disorder
+    assembly (W3) + its cross-file overlap skip (J1): duplicates within
+    the 1.2 s disorder horizon collapse, state is evicted past the
+    watermark. ``_quarantine`` rows (bad files) carry no event time —
+    they bypass the keyed dedupe state and are unioned back.
+    """
+    signals = read_canserver_stream(spark, raw_dir)
+    good = (
+        signals.filter(F.col("channel") != "_quarantine")
+        .withWatermark("ts", REORDER_WATERMARK)
+        .dropDuplicatesWithinWatermark(["device_id", "channel", "ts"])
+    )
+    return good.unionByName(signals.filter(F.col("channel") == "_quarantine"))
+
+
+def run_silver_pipeline(
+    spark: SparkSession, raw_dir: str, silver_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain available raw files into the silver parquet table.
+
+    No in-stream dedupe here: the foreachBatch upsert sink is already
+    idempotent on (device_id, channel, ts), which subsumes W3's
+    duplicate-collapse for the at-rest table — and skips the second
+    decode pass the branched dedupe stream would cost. Use
+    ``silver_signals_stream`` when a consumer needs exactly-once rows
+    *within* the live stream itself.
+    """
+    stream = read_canserver_stream(spark, raw_dir)
+    stream = stream.withColumn("date", F.to_date("ts")).withColumn("hour", F.hour("ts"))
+    (
+        stream.writeStream.foreachBatch(
+            foreach_batch_upsert(
+                silver_dir, keys=["device_id", "channel", "ts"], partition_cols=["date", "hour"]
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage 2b streaming: autopilot transitions with cross-batch state
+# ---------------------------------------------------------------------------
+
+_AP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("device_id", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("canbus_state", T.DoubleType()),
+    ]
+)
+# last observed (ts_us, code) per device — the only state W1 needs
+_AP_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_ts_us", T.LongType()), T.StructField("last_code", T.IntegerType())]
+)
+
+
+def _ap_transition_fn(key, pdfs, state: GroupState):
+    """applyInPandasWithState body: W1 lag-transition scan with the lag
+    carried across micro-batches (a transition split across two files /
+    batches is still detected — strictly better than the reference's
+    per-file scan which loses the boundary)."""
+    prev_ts, prev_code = state.get if state.exists else (None, None)
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_us")
+    out = []
+    for ts_us, code in zip(rows["ts_us"], rows["code"]):
+        if code is None or pd.isna(code):
+            continue
+        code = int(code)
+        if prev_code is not None:
+            if code == 3 and prev_code <= 2:
+                out.append((key[0], int(ts_us), "engagement", float(code)))
+            elif code <= 2 and prev_code == 3:
+                out.append((key[0], int(ts_us), "disengagement", float(code)))
+        prev_ts, prev_code = int(ts_us), code
+    if prev_code is not None:
+        state.update((prev_ts, prev_code))
+    yield pd.DataFrame(out, columns=["device_id", "ts_us", "status", "canbus_state"])
+
+
+def ap_transitions_stream(signals: DataFrame) -> DataFrame:
+    """Streaming W1 over the silver signal stream: custom stateful
+    operator via applyInPandasWithState (SURVEY §2.9 mapping for the one
+    operator Structured Streaming lacks natively)."""
+    from matt3r_data_ingestion_serverless_spark.operators.autopilot import ap_state_code
+
+    coded = (
+        signals.filter(F.col("channel") == "ap_status")
+        .withColumn("code", ap_state_code(F.col("state")))
+        .withColumn("ts_us", F.unix_micros("ts"))
+        .select("device_id", "ts_us", "code")
+    )
+    return coded.groupBy("device_id").applyInPandasWithState(
+        _ap_transition_fn,
+        outputStructType=_AP_OUTPUT_SCHEMA,
+        stateStructType=_AP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_autopilot_pipeline(
+    spark: SparkSession, silver_dir: str, gold_dir: str, checkpoint_dir: str
+) -> None:
+    """Stage-2b stream: silver parquet → autopilot transition events."""
+    signals = spark.readStream.schema(
+        "device_id string, ts timestamp, channel string, values array<double>, state string, "
+        "date date, hour int"
+    ).parquet(silver_dir)
+    events = ap_transitions_stream(signals)
+    events = events.withColumn("date", F.to_date(F.timestamp_micros(F.col("ts_us"))))
+    (
+        events.writeStream.foreachBatch(
+            foreach_batch_upsert(
+                gold_dir, keys=["device_id", "ts_us", "status"], partition_cols=["date"]
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def stationary_sessions_stream(signals: DataFrame, *, gap: str = "13 seconds") -> DataFrame:
+    """Streaming W2 variant: session_window over stationary samples.
+
+    Batch W2 defines a run as zero-samples bounded by nonzero samples;
+    the streaming form uses a session gap (samples closer than ``gap``
+    fuse into one session) — the natural watermark-compatible
+    reformulation (SURVEY §7.3 risk item: batch-first, session_window
+    behind the same API).
+    """
+    zero = signals.filter((F.col("channel") == "speed") & (F.col("values")[0] <= 0.0))
+    return (
+        zero.withWatermark("ts", "30 seconds")
+        .groupBy("device_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_samples"))
+        .select(
+            "device_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_samples",
+        )
+    )

@@ -124,7 +124,8 @@ def test_spark_read_canserver_end_to_end(spark, tmp_path):
             ]
             + [(20, 599, bytes([0x00, 0xF0, 0xFF])), (30, 921, bytes([0x03]))]
         )
-        (tmp_path / f"{dev}.log").write_bytes(stream)
+        (tmp_path / dev).mkdir()
+        (tmp_path / dev / "chunk0.log").write_bytes(stream)
 
     sig = cs.read_canserver(spark, str(tmp_path))
     rows = sig.collect()

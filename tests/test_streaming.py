@@ -1,0 +1,99 @@
+"""Streaming-topology tests (SURVEY.md §5.4): AvailableNow micro-batch
+runs over file sequences asserting idempotent re-delivery (T3),
+watermark dedupe (W3), and cross-batch stateful transition detection.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from matt3r_data_ingestion_serverless_spark.operators.merge import upsert_parquet
+from matt3r_data_ingestion_serverless_spark.sources import canserver as cs
+from matt3r_data_ingestion_serverless_spark.streaming import pipeline as pl
+from tests.test_canserver import SYNC_US, build_stream
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "raw": tmp_path / "raw",
+        "silver": tmp_path / "silver",
+        "gold": tmp_path / "gold",
+        "ckpt1": tmp_path / "ckpt1",
+        "ckpt2": tmp_path / "ckpt2",
+    }
+    d["raw"].mkdir()
+    return {k: str(v) for k, v in d.items()}
+
+
+def _write_raw(dirs, name, frames, device="dev0"):
+    import pathlib
+
+    d = pathlib.Path(dirs["raw"], device)
+    d.mkdir(exist_ok=True)
+    (d / name).write_bytes(build_stream(frames))
+
+
+def test_silver_pipeline_and_idempotent_redelivery(spark, dirs, tmp_path):
+    frames = [(i, 599, bytes([0x00, 0x40, 0x1F])) for i in range(5)] + [
+        (10, 921, bytes([0x02])),
+        (20, 921, bytes([0x03])),
+    ]
+    _write_raw(dirs, "veh_a.log", frames)
+
+    pl.run_silver_pipeline(spark, dirs["raw"], dirs["silver"], dirs["ckpt1"])
+    silver = spark.read.parquet(dirs["silver"])
+    n1 = silver.count()
+    assert n1 == 7
+    assert set(silver.select("channel").distinct().toPandas()["channel"]) == {"speed", "ap_status"}
+    # partitioned by (date, hour) for pruning
+    assert {"date", "hour"} <= set(silver.columns)
+
+    # re-delivery: the same object is processed again (fresh checkpoint
+    # = the SQS at-least-once path) → sink must be a no-op
+    pl.run_silver_pipeline(spark, dirs["raw"], dirs["silver"], str(tmp_path / "ckpt1b"))
+    n2 = spark.read.parquet(dirs["silver"]).count()
+    assert n2 == n1  # dedupe-upsert absorbed the duplicate delivery
+
+
+def test_cross_batch_ap_transition_state(spark, dirs):
+    # file 1 ends AVAILABLE(2); file 2 begins ACTIVE_NOMINAL(3):
+    # the engagement straddles the gold-stream batch boundary, so the
+    # lag must come from the persisted GroupState, not the batch.
+    _write_raw(dirs, "f1.log", [(0, 921, bytes([0x00])), (100, 921, bytes([0x02]))])
+    pl.run_silver_pipeline(spark, dirs["raw"], dirs["silver"], dirs["ckpt1"])
+    pl.run_autopilot_pipeline(spark, dirs["silver"], dirs["gold"], dirs["ckpt2"])
+
+    _write_raw(dirs, "f2.log", [(200, 921, bytes([0x03])), (300, 921, bytes([0x01]))])
+    pl.run_silver_pipeline(spark, dirs["raw"], dirs["silver"], dirs["ckpt1"])
+    pl.run_autopilot_pipeline(spark, dirs["silver"], dirs["gold"], dirs["ckpt2"])
+    gold = spark.read.parquet(dirs["gold"]).collect()
+    statuses = {(r.status, r.ts_us - SYNC_US) for r in gold}
+    assert ("engagement", 200_000) in statuses
+    assert ("disengagement", 300_000) in statuses
+
+
+def test_upsert_parquet_partition_scoped_merge(spark, tmp_path):
+    target = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a", 10), (2, "a", 20), (3, "b", 30)], "k int, p string, v int")
+    upsert_parquet(df1, target, keys=["k"], partition_cols=["p"])
+    # overlapping re-delivery + one new row in partition b
+    df2 = spark.createDataFrame([(3, "b", 99), (4, "b", 40)], "k int, p string, v int")
+    upsert_parquet(df2, target, keys=["k"], partition_cols=["p"])
+    out = {(r.k, r.p, r.v) for r in spark.read.parquet(target).collect()}
+    # k=3 keeps the FIRST committed value (idempotent, first-writer-wins)
+    assert out == {(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)}
+
+
+def test_stationary_sessions_stream_schema(spark, dirs):
+    # schema/plan sanity for the session_window variant (batch-mode run)
+    _write_raw(
+        dirs,
+        "s.log",
+        [(i * 1000, 599, bytes([0x00, 0x40, 0x1F])) for i in range(5)],  # speed 0.0
+    )
+    signals = cs.read_canserver(spark, dirs["raw"])
+    sessions = pl.stationary_sessions_stream(signals).collect()
+    assert len(sessions) == 1
+    s = sessions[0]
+    assert s["n_samples"] == 5 and s["end_us"] - s["start_us"] >= 4_000_000
