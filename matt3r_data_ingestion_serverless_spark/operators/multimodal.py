@@ -1,0 +1,88 @@
+"""Multimodal column plumbing (SURVEY §7.2 M5): image/audio/video as
+opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched pandas UDFs over ``mapInPandas``.
+
+The reference pipeline has no multimodal surface; this is the
+training-data-pipeline extension. The container ships no image/audio
+codecs, so the actual decode is STUBBED (``decode_image`` raises
+``NotImplementedError``); everything Spark-side — binary schema,
+mapInPandas batch iteration, 1→N frame expansion, typed
+``array<double>`` feature output — is real and tested.
+
+Scale stance: blobs stay executor-side end to end (never collected);
+frame expansion multiplies rows map-side with no shuffle; Arrow batch
+size is governed by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so
+a partition of large blobs cannot blow executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N_FRAMES = 3  # deterministic frames sampled per blob
+FEATURE_DIM = 4  # per-frame feature vector width
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def with_blob(df: DataFrame, text_col: str = "text", source_col: str = "source") -> DataFrame:
+    """Attach the opaque binary column + mime metadata. In a real
+    pipeline the blob is read from object storage
+    (spark.read.format('binaryFile')); here the UTF-8 payload stands in
+    so the downstream plumbing is exercised with real bytes."""
+    return df.withColumn("blob", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "mime", F.concat(F.lit("application/x-"), F.col(source_col))
+    )
+
+
+def decode_image(data: bytes):
+    """Real codec entry point — intentionally unimplemented: no
+    PIL/opencv/ffmpeg in this container. The fake path below keeps the
+    batch shape and schema identical to what a real decoder feeds."""
+    raise NotImplementedError(
+        "image/audio decode requires codec libraries not present in this "
+        "environment; wire PIL/av here and keep _fake_frame_feature's "
+        "output contract (FEATURE_DIM doubles per frame)"
+    )
+
+
+def _fake_frame_feature(blob: bytes, frame_idx: int) -> list[float]:
+    """Deterministic stand-in for decode→resize→featurize: samples
+    FEATURE_DIM bytes at a frame-dependent stride. byte/256 is an exact
+    binary fraction, so the doubles are bit-stable everywhere."""
+    n = len(blob)
+    return [blob[(frame_idx * 7 + k * 3) % n] / 256.0 for k in range(FEATURE_DIM)]
+
+
+def frame_features(df: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
+    """(doc_id, blob) → n_frames rows of (doc_id, frame_idx, n_bytes,
+    feature). Arrow-batched; each input batch expands to n_frames× rows
+    map-side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, sizes, feats = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(blob)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    frames.append(i)
+                    sizes.append(len(blob))
+                    feats.append(_fake_frame_feature(blob, i))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": frames, "n_bytes": sizes, "feature": feats}
+            )
+
+    return df.mapInPandas(gen, FRAME_SCHEMA)

@@ -13,5 +13,6 @@ from matt3r_data_ingestion_serverless_spark.plans.registry import QUERIES, all_q
 from matt3r_data_ingestion_serverless_spark.plans import telemetry  # noqa: F401,E402
 from matt3r_data_ingestion_serverless_spark.plans import decode_math  # noqa: F401,E402
 from matt3r_data_ingestion_serverless_spark.plans import relational  # noqa: F401,E402
+from matt3r_data_ingestion_serverless_spark.plans import northstar  # noqa: F401,E402
 
 __all__ = ["QUERIES", "all_queries", "register"]
