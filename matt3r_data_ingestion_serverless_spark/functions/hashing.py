@@ -39,27 +39,48 @@ def md5_hash64_sql(expr: str) -> str:
     return f"try_cast(concat('0x', substr(md5({expr}),1,15)) AS BIGINT)"
 
 
+# (a_i, b_i) coefficient structs as one literal array so the signature
+# fold is a single pass: acc[i] = min(acc[i], (a_i·h + b_i) mod P31)
+def _ab_structs() -> Column:
+    return F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+    )
+
+
+def minhash_from_hashes(hashes_mod: Column) -> Column:
+    """Signature from pre-reduced hashes (h mod P31): ONE aggregate pass
+    over the array updating all N_MINHASHES minima via zip_with — md5 is
+    never recomputed and the expression tree stays codegen-sized."""
+    init = F.array_repeat(F.lit(P31).cast("long"), N_MINHASHES)
+    return F.aggregate(
+        hashes_mod,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, _ab_structs(), lambda m, ab: F.least(m, (ab["a"] * h + ab["b"]) % P31)
+        ),
+    )
+
+
 def minhash_signature(tokens: Column) -> Column:
     """Array of N_MINHASHES min-hashes over a token array (SURVEY §7.2
     M5: shingle→minhash). Pure higher-order functions — JVM-side."""
-    def affine(a: int, b: int):
-        # closure factory: PySpark introspects lambda arity, so default
-        # args (lambda t, a=a) would mis-bind the higher-order function
-        return lambda t: (F.lit(a) * (md5_hash64(t) % P31) + F.lit(b)) % P31
-
-    sigs = [
-        F.array_min(F.transform(tokens, affine(a, b)))
-        for a, b in zip(MINHASH_A, MINHASH_B)
-    ]
-    return F.array(*sigs)
+    return minhash_from_hashes(F.transform(tokens, lambda t: md5_hash64(t) % P31))
 
 
-def minhash_signature_sql(tokens_expr: str) -> str:
+def minhash_from_hashes_sql(h_expr: str) -> str:
     parts = [
-        f"list_min(list_transform({tokens_expr}, t -> ({a} * ({md5_hash64_sql('t')} % {P31}) + {b}) % {P31}))"
+        f"list_min(list_transform({h_expr}, h -> ({a} * h + {b}) % {P31}))"
         for a, b in zip(MINHASH_A, MINHASH_B)
     ]
     return "[" + ", ".join(parts) + "]"
+
+
+def minhash_signature_sql(tokens_expr: str) -> str:
+    hashed = f"list_transform({tokens_expr}, t -> ({md5_hash64_sql('t')}) % {P31})"
+    return minhash_from_hashes_sql(hashed)
 
 
 def token_hashes(tokens: Column) -> Column:
@@ -72,19 +93,30 @@ def token_hashes_sql(tokens_expr: str) -> str:
     return f"list_transform({tokens_expr}, t -> {md5_hash64_sql('t')})"
 
 
+def _pows() -> Column:
+    return F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+
+
 def simhash_fingerprint(hashes: Column) -> Column:
     """SimHash over a pre-hashed token array: per-bit ±1 sums, then
-    fingerprint = Σ 2^j·[sum_j > 0]."""
-    def bit_sum(j: int):
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    fp = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        sum_j = F.aggregate(hashes, F.lit(0).cast("long"), bit_sum(j))
-        fp = fp + F.when(sum_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return fp
+    fingerprint = Σ 2^j·[sum_j > 0]. ONE aggregate pass carrying all 32
+    bit counters as an array (a per-bit aggregate would traverse the
+    token array 32× and blow up the codegen tree)."""
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            _pows(),
+            lambda c, p: c
+            + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(counts, _pows(), lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash_fingerprint_sql(hashes_expr: str) -> str:

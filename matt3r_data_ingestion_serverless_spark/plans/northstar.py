@@ -26,6 +26,7 @@ Scale design, per query family:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -53,6 +54,24 @@ def _shingles_sql(expr: str) -> str:
     return f"list_distinct({text.word_ngrams_sql(expr, SHINGLE_N)})"
 
 
+def _hashed_shingles(col):
+    """Distinct shingles → md5 % P31 longs: every downstream set op
+    (Jaccard intersect/union) and the minhash fold run on 8-byte ints,
+    never on shingle strings — md5 is computed exactly once per shingle.
+    Collisions at 2³¹ over ~10² shingles/doc are negligible and, being
+    md5-derived, identical in the oracle."""
+    return F.transform(
+        _shingles(col), lambda t: hashing.md5_hash64(t) % hashing.P31
+    )
+
+
+def _hashed_shingles_sql(expr: str) -> str:
+    return (
+        f"list_transform({_shingles_sql(expr)}, "
+        f"t -> ({hashing.md5_hash64_sql('t')}) % {hashing.P31})"
+    )
+
+
 def _jaccard(a, b):
     return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
 
@@ -72,6 +91,15 @@ def _minhash_band_structs(sig):
         key = F.concat_ws("-", F.transform(band, lambda x: x.cast("string")))
         bands.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
     return F.array(*bands)
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist a small per-row signature stage that a self-join (or a
+    verify join-back) would otherwise recompute once per plan branch.
+    At 100 TB this stage is the materialized signature table —
+    (id, signature) columns only, a tiny fraction of corpus bytes —
+    persisted MEMORY_AND_DISK so executors spill instead of OOM."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _minhash_band_structs_sql() -> str:
@@ -110,8 +138,8 @@ def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_sql() -> str:
-    sh = _shingles_sql("text")
-    sig = hashing.minhash_signature_sql("sh")
+    sh = _hashed_shingles_sql("text")
+    sig = hashing.minhash_from_hashes_sql("sh")
     return f"""
 WITH d AS (SELECT doc_id, {sh} AS sh FROM documents),
 s AS (SELECT doc_id, sh, {sig} AS sig FROM d),
@@ -137,8 +165,10 @@ def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded; exact Jaccard touches only candidates. Signature
     computation is pure higher-order functions (no UDF, no shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
-    s = d.select("doc_id", "sh", hashing.minhash_signature(F.col("sh")).alias("sig"))
+    d = docs.select("doc_id", _hashed_shingles(F.col("text")).alias("sh"))
+    # pin shingles+signature together: band explode AND the verify
+    # join-back both read this one cached stage
+    s = _pin(d.select("doc_id", "sh", hashing.minhash_from_hashes(F.col("sh")).alias("sig")))
     bk = s.select(
         "doc_id", F.explode(_minhash_band_structs(F.col("sig"))).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
@@ -153,8 +183,8 @@ def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    da = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    db = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    da = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
         cand.join(da, "doc_a")
         .join(db, "doc_b")
@@ -199,9 +229,11 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall trade-off, identical in the oracle)."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
-    f_ = d.select(
-        "doc_id",
-        hashing.simhash_fingerprint(hashing.token_hashes(F.col("sh"))).alias("fp"),
+    f_ = _pin(
+        d.select(
+            "doc_id",
+            hashing.simhash_fingerprint(hashing.token_hashes(F.col("sh"))).alias("fp"),
+        )
     )
     bands = F.array(
         *[
@@ -238,7 +270,7 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_topk_sql() -> str:
-    sh = _shingles_sql("text")
+    sh = _hashed_shingles_sql("text")
     return f"""
 WITH d AS (SELECT doc_id, {sh} AS sh FROM documents),
 q AS (SELECT doc_id AS query_id, sh AS qsh FROM d WHERE doc_id % 100 = 0),
@@ -260,7 +292,7 @@ def ns_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial top-k per partition under AQE). Exact baseline for the LSH
     dedup path."""
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    d = _pin(docs.select("doc_id", _hashed_shingles(F.col("text")).alias("sh")))
     q = d.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("query_id"), F.col("sh").alias("qsh")
     )
@@ -296,8 +328,8 @@ def _emb_norm_cte() -> str:
 def _emb_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = vectors.as_double(F.col("embedding"))
-    return emb.select("vec_id", v.alias("v")).withColumn(
-        "nrm", vectors.l2_norm(F.col("v"))
+    return _pin(
+        emb.select("vec_id", v.alias("v")).withColumn("nrm", vectors.l2_norm(F.col("v")))
     )
 
 
