@@ -279,6 +279,92 @@ def j1_union_dedupe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a6_channel_collect",
+    sql="""
+SELECT user_id, event_type,
+       array_to_string(
+         list_sort(list(epoch_us(ts)::VARCHAR || ':' ||
+                        CAST(round(value * 1000, 0) AS BIGINT)::VARCHAR)),
+         ',') AS series,
+       count(*) AS n_samples
+FROM events GROUP BY user_id, event_type
+""",
+)
+def a6_channel_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 channel collect (parse_canserver_filtered_log.py:311-325): the
+    per-channel {timestamp, value} array build becomes
+    collect_list + array_sort per group — one shuffle on the group key,
+    order imposed by the sort (collect_list order is partition-
+    dependent, never relied on). Samples serialize as 'ts_us:value_milli'
+    ints so the joined string is bit-stable across engines."""
+    events = load_table(spark, sf_dir, "events")
+    sample = F.format_string(
+        "%d:%d",
+        F.unix_micros(F.col("ts")),
+        F.round(F.col("value") * 1000, 0).cast("long"),
+    )
+    return events.groupBy("user_id", "event_type").agg(
+        F.array_join(F.array_sort(F.collect_list(sample)), ",").alias("series"),
+        F.count("*").alias("n_samples"),
+    )
+
+
+@register(
+    "s6_envelope_decode",
+    sql="""
+WITH env AS (
+  SELECT event_id,
+         to_json(struct_pack(
+           eventName := 's3:ObjectCreated:Put',
+           bucket := 'raw-bucket',
+           key := 'device+' || user_id || '%2Fcanserver%2Flog_' || event_id || '.bin'
+         )) AS envelope
+  FROM events WHERE event_id < 200
+)
+SELECT event_id,
+       envelope->>'eventName' AS op,
+       envelope->>'bucket' AS bucket,
+       replace(replace(envelope->>'key', '+', ' '), '%2F', '/') AS key
+FROM env
+WHERE contains((envelope->>'eventName'), 'ObjectCreated')
+  AND (envelope->>'bucket') = 'raw-bucket'
+""",
+)
+def s6_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 S3-event envelope source + D9 URL decode + P1 event guard
+    (parse_canserver_filtered_log.py:122-128): build the SQS/S3 JSON
+    envelope, parse it back, unquote_plus the object key, and apply the
+    ObjectCreated/bucket guard. Spark uses the real url_decode; the
+    oracle decodes via replace over the encodings present in these keys
+    (DuckDB 1.0 has no url_decode)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    env = events.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.lit("s3:ObjectCreated:Put").alias("eventName"),
+                F.lit("raw-bucket").alias("bucket"),
+                F.concat(
+                    F.lit("device+"),
+                    F.col("user_id"),
+                    F.lit("%2Fcanserver%2Flog_"),
+                    F.col("event_id").cast("string"),
+                    F.lit(".bin"),
+                ).alias("key"),
+            )
+        ).alias("envelope"),
+    )
+    return env.select(
+        "event_id",
+        F.get_json_object("envelope", "$.eventName").alias("op"),
+        F.get_json_object("envelope", "$.bucket").alias("bucket"),
+        F.url_decode(F.get_json_object("envelope", "$.key")).alias("key"),
+    ).filter(
+        F.col("op").contains("ObjectCreated") & (F.col("bucket") == "raw-bucket")
+    )
+
+
+@register(
     "d10_date_parts",
     sql="""
 SELECT event_id,
