@@ -458,6 +458,86 @@ def ns_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf_sql() -> str:
+    dot_qn = vectors.dot_sql("q.v", "n.v")
+    dot_qc = vectors.dot_sql("q.v", "cn.c")
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, {vectors.l2_norm_sql('v')} AS nrm FROM e),
+cexp AS (SELECT label, i, avg(v[i]) AS m FROM e, range(1, 65) t(i) GROUP BY label, i),
+cent AS (SELECT label, list(m ORDER BY i) AS c FROM cexp GROUP BY label),
+cn AS (SELECT label, c, {vectors.l2_norm_sql('c')} AS cnrm FROM cent),
+q AS (SELECT vec_id AS query_id, v, nrm FROM n WHERE vec_id % 50 = 0),
+qc AS (SELECT query_id, v, nrm, probe_label FROM (
+         SELECT q.query_id, q.v, q.nrm, cn.label AS probe_label,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY round({dot_qc} / (q.nrm * cn.cnrm), 6) DESC, cn.label) AS rn
+         FROM q CROSS JOIN cn) WHERE rn = 1),
+scored AS (SELECT query_id, n.vec_id AS match_id,
+                  round({vectors.dot_sql('qc.v', 'n.v')} / (qc.nrm * n.nrm), 6) AS cos_sim
+           FROM qc JOIN n ON n.label = qc.probe_label AND n.vec_id != query_id),
+ranked AS (SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY cos_sim DESC, match_id) AS rank
+           FROM scored)
+SELECT query_id, match_id, rank, cos_sim FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ns_ann_ivf_topk", sql=_ann_ivf_sql())
+def ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into cells (the label
+    clusters; centroids = per-dimension means computed via posexplode +
+    hash agg), route each query to its nearest centroid (nprobe=1), and
+    rank only within that cell.
+
+    Scale: the centroid table is k rows — always broadcast; the corpus
+    is scanned once to build cells and the probe join touches 1/k of it
+    per query. This trades recall (documented: true neighbors outside
+    the probed cell are missed) for a k× scan reduction — the standard
+    IVF contract. Brute-force ns_ann_cosine_topk is the recall oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", vectors.as_double(F.col("embedding")).alias("v"))
+    n = _pin(e.withColumn("nrm", vectors.l2_norm(F.col("v"))))
+    # centroids: per-dim mean via posexplode → (label, i) hash agg → re-assemble
+    pos = e.select("label", F.posexplode("v").alias("i", "x"))
+    cexp = pos.groupBy("label", "i").agg(F.avg("x").alias("m"))
+    cent = cexp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("c")
+    )
+    cn = cent.withColumn("cnrm", vectors.l2_norm(F.col("c")))
+    q = n.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos_qc = F.round(
+        vectors.cosine(F.col("qv"), F.col("c"), F.col("qnrm"), F.col("cnrm")), 6
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cent_sim"), F.asc("label"))
+    qc = (
+        q.crossJoin(F.broadcast(cn))
+        .withColumn("cent_sim", cos_qc)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "qv", "qnrm", F.col("label").alias("probe_label"))
+    )
+    cos_qn = F.round(
+        vectors.cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")), 6
+    )
+    scored = n.join(
+        F.broadcast(qc),
+        (F.col("label") == F.col("probe_label")) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", F.col("vec_id").alias("match_id"), cos_qn.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "match_id", "rank", "cos_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -56,6 +56,30 @@ def test_silver_pipeline_and_idempotent_redelivery(spark, dirs, tmp_path):
     assert n2 == n1  # dedupe-upsert absorbed the duplicate delivery
 
 
+def test_silver_stream_watermark_dedupe(spark, dirs):
+    # W3: the same (device, channel, ts) sample delivered twice inside
+    # the 1.2 s disorder horizon collapses to one row IN-STREAM
+    # (dropDuplicatesWithinWatermark), not just at the sink
+    frames = [
+        (5, 599, bytes([0x00, 0x40, 0x1F])),
+        (5, 599, bytes([0x00, 0x40, 0x1F])),  # exact duplicate
+        (7, 921, b"\x03"),
+    ]
+    _write_raw(dirs, "dup.log", frames)
+    stream = pl.silver_signals_stream(spark, dirs["raw"])
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("w3_dedupe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT device_id, channel, ts FROM w3_dedupe").collect()
+    assert len(rows) == 2  # duplicate speed sample collapsed
+    assert {r.channel for r in rows} == {"speed", "ap_status"}
+
+
 def test_cross_batch_ap_transition_state(spark, dirs):
     # file 1 ends AVAILABLE(2); file 2 begins ACTIVE_NOMINAL(3):
     # the engagement straddles the gold-stream batch boundary, so the
