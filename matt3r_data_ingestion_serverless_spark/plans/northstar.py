@@ -571,9 +571,12 @@ def ns_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     so predictions skew en/und — the point is the deterministic
     heuristic, mirrored exactly in the oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    pred = text.predict_lang(text.tokens(F.col("text")))
+    # project tokens ONCE: the argmax references the token array ~10×,
+    # and CollapseProject keeps multiply-referenced non-cheap
+    # expressions in their own projection instead of inlining the split
+    toked = docs.select("lang", text.tokens(F.col("text")).alias("toks"))
     return (
-        docs.select("lang", pred.alias("pred_lang"))
+        toked.select("lang", text.predict_lang(F.col("toks")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -624,6 +627,55 @@ def ns_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * 31 + h) % hashing.P31,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def _curation_sql() -> str:
+    toks = text.tokens_sql("text")
+    stop = text.stopword_hits_sql(toks, "en")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, text,
+         len({toks}) AS n_tok,
+         {stop} AS stop_hits
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, source, text FROM scored
+  WHERE n_tok >= 20 AND stop_hits * 1.0 / n_tok >= 0.02
+),
+deduped AS (
+  SELECT md5(text) AS h, min(doc_id) AS keep_doc_id, min(source) AS source
+  FROM kept GROUP BY md5(text)
+)
+SELECT source, count(*) AS n_docs_kept FROM deduped GROUP BY source
+"""
+
+
+@register("ns_curation_pipeline", sql=_curation_sql())
+def ns_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation pass — the shape a real training-data run
+    takes: quality gate (length + stopword ratio) → exact dedup → keep
+    counts per source. One corpus scan, one narrow shuffle on the
+    16-byte content hash, one tiny final aggregate; the quality gate
+    runs map-side BEFORE the shuffle, so filtered docs never ship."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "source", "text", text.tokens(F.col("text")).alias("toks")
+    )
+    scored = toked.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size("toks").alias("n_tok"),
+        text.stopword_hits(F.col("toks"), "en").alias("stop_hits"),
+    )
+    kept = scored.filter(
+        (F.col("n_tok") >= 20) & (F.col("stop_hits") / F.col("n_tok") >= 0.02)
+    )
+    deduped = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.min("source").alias("source")
+    )
+    return deduped.groupBy("source").agg(F.count("*").alias("n_docs_kept"))
 
 
 # ---------------------------------------------------------------------------
