@@ -72,17 +72,29 @@ def frame_features(df: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
     map-side."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            ids, frames, sizes, feats = [], [], [], []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                blob = bytes(blob)
-                for i in range(n_frames):
-                    ids.append(doc_id)
-                    frames.append(i)
-                    sizes.append(len(blob))
-                    feats.append(_fake_frame_feature(blob, i))
+            if not len(pdf):
+                continue
+            blobs = [bytes(b) for b in pdf["blob"]]
+            sizes = np.array([len(b) for b in blobs], dtype=np.int64)
+            n = len(blobs)
+            # one flat buffer + computed offsets: the whole batch's
+            # features come from one vectorized gather, no per-row loop
+            flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            starts = np.concatenate(([0], np.cumsum(sizes[:-1])))
+            fi = np.arange(n_frames)[None, :, None]  # (1, F, 1)
+            ki = np.arange(FEATURE_DIM)[None, None, :]  # (1, 1, K)
+            offs = (fi * 7 + ki * 3) % sizes[:, None, None] + starts[:, None, None]
+            feats = flat[offs].astype(np.float64) / 256.0  # (n, F, K)
             yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": frames, "n_bytes": sizes, "feature": feats}
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n_frames),
+                    "frame_idx": np.tile(np.arange(n_frames, dtype=np.int32), n),
+                    "n_bytes": np.repeat(sizes, n_frames),
+                    "feature": list(feats.reshape(n * n_frames, FEATURE_DIM)),
+                }
             )
 
     return df.mapInPandas(gen, FRAME_SCHEMA)

@@ -365,6 +365,31 @@ def s6_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_user_totals",
+    sql="""
+SELECT user_id, round(sum(value), 6) AS total_value, count(value) AS n
+FROM events GROUP BY user_id
+""",
+)
+def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 skew hygiene: the per-device total via salted two-phase
+    aggregation (operators/salted.py) — identical result to the plain
+    groupBy (the oracle IS the plain groupBy), but a hot device spreads
+    over 8 reducers instead of one. Float sums survive the extra
+    combine because the compare rounds at 6 dp; money-grade outputs
+    would aggregate in DECIMAL as in relational.py."""
+    from matt3r_data_ingestion_serverless_spark.operators.salted import salted_sum_count
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_sum_count(events, keys=["user_id"], value="value")
+    return out.select(
+        "user_id",
+        F.round(F.col("sum_value"), 6).alias("total_value"),
+        F.col("cnt_value").alias("n"),
+    )
+
+
+@register(
     "d10_date_parts",
     sql="""
 SELECT event_id,
