@@ -46,29 +46,54 @@ SIMHASH_MAX_HAM = 4  # max Hamming distance for simhash near-dups
 MINHASH_BANDS, MINHASH_ROWS = 4, 4  # 16 minhashes → 4 bands of 4
 
 
-def _shingles(col):
-    return F.array_distinct(text.word_ngrams(col, SHINGLE_N))
+# rolling-combine base for integer shingle hashing; intermediates stay
+# under 2^63: (h % P31)·B ≈ 2³¹·10⁶ ≈ 2·10¹⁵
+TOKEN_B = 1_000_003
 
 
-def _shingles_sql(expr: str) -> str:
-    return f"list_distinct({text.word_ngrams_sql(expr, SHINGLE_N)})"
+def _with_hashed_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach ``sh``: distinct integer 3-gram shingle hashes.
 
-
-def _hashed_shingles(col):
-    """Distinct shingles → md5 % P31 longs: every downstream set op
-    (Jaccard intersect/union) and the minhash fold run on 8-byte ints,
-    never on shingle strings — md5 is computed exactly once per shingle.
-    Collisions at 2³¹ over ~10² shingles/doc are negligible and, being
-    md5-derived, identical in the oracle."""
-    return F.transform(
-        _shingles(col), lambda t: hashing.md5_hash64(t) % hashing.P31
+    Each TOKEN is md5'd once (mod P31); a shingle hash is the rolling
+    combine of its 3 token hashes — no n-gram strings are ever built and
+    md5 runs once per token instead of once per (longer) shingle. All
+    downstream set ops (Jaccard), the minhash fold, and the simhash
+    accumulators consume these 8-byte ints. Collisions at 2³¹ over ~10²
+    shingles/doc are negligible and, being md5-derived, identical in
+    the oracle."""
+    P = hashing.P31
+    staged = df.withColumn(
+        "_th",
+        F.transform(
+            text.tokens(F.col(text_col)), lambda t: hashing.md5_hash64(t) % P
+        ),
     )
+    k = F.size(F.col("_th")) - (SHINGLE_N - 1)
+
+    def comb(i):
+        th = lambda off: F.element_at(F.col("_th"), i + F.lit(off))  # noqa: E731
+        return ((th(0) * TOKEN_B + th(1)) % P * TOKEN_B + th(2)) % P
+
+    combined = F.transform(F.sequence(F.lit(1), k), comb)
+    sh = F.array_distinct(
+        F.when(k >= 1, combined).otherwise(F.array().cast("array<long>"))
+    )
+    return staged.withColumn("sh", sh).drop("_th")
 
 
-def _hashed_shingles_sql(expr: str) -> str:
+def _hashed_shingles_cte(table: str = "documents") -> str:
+    """CTE pair `th, d` producing d(doc_id, sh) — the oracle twin of
+    _with_hashed_shingles."""
+    P = hashing.P31
+    th = (
+        f"list_transform({text.tokens_sql('text')}, "
+        f"t -> ({hashing.md5_hash64_sql('t')}) % {P})"
+    )
+    comb = f"(((th[i] * {TOKEN_B} + th[i+1]) % {P}) * {TOKEN_B} + th[i+2]) % {P}"
     return (
-        f"list_transform({_shingles_sql(expr)}, "
-        f"t -> ({hashing.md5_hash64_sql('t')}) % {hashing.P31})"
+        f"th AS (SELECT doc_id, {th} AS th FROM {table}),\n"
+        f"d AS (SELECT doc_id, list_distinct(list_transform("
+        f"range(1, greatest(len(th) - {SHINGLE_N - 1}, 0) + 1), i -> {comb})) AS sh FROM th)"
     )
 
 
@@ -138,10 +163,9 @@ def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_sql() -> str:
-    sh = _hashed_shingles_sql("text")
     sig = hashing.minhash_from_hashes_sql("sh")
     return f"""
-WITH d AS (SELECT doc_id, {sh} AS sh FROM documents),
+WITH {_hashed_shingles_cte()},
 s AS (SELECT doc_id, sh, {sig} AS sig FROM d),
 bk AS (SELECT doc_id, unnest({_minhash_band_structs_sql()}, recursive := true) FROM s),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -165,7 +189,7 @@ def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded; exact Jaccard touches only candidates. Signature
     computation is pure higher-order functions (no UDF, no shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", _hashed_shingles(F.col("text")).alias("sh"))
+    d = _with_hashed_shingles(docs).select("doc_id", "sh")
     # pin shingles+signature together: band explode AND the verify
     # join-back both read this one cached stage
     s = _pin(d.select("doc_id", "sh", hashing.minhash_from_hashes(F.col("sh")).alias("sig")))
@@ -198,17 +222,14 @@ def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
-    sh = _shingles_sql("text")
-    hashes = hashing.token_hashes_sql("sh")
-    fp = hashing.simhash_fingerprint_sql("hashes")
+    fp = hashing.simhash_fingerprint_sql("sh")
     # 4 byte-wide bands over the 32-bit fingerprint for candidate blocking
     bands = ", ".join(
         f"{{'band': {b}, 'key': (fp >> {b * 8}) & 255}}" for b in range(4)
     )
     return f"""
-WITH d AS (SELECT doc_id, {sh} AS sh FROM documents),
-h AS (SELECT doc_id, {hashes} AS hashes FROM d),
-f AS (SELECT doc_id, {fp} AS fp FROM h),
+WITH {_hashed_shingles_cte()},
+f AS (SELECT doc_id, {fp} AS fp FROM d),
 bk AS (SELECT doc_id, fp, unnest([{bands}], recursive := true) FROM f),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 a.fp AS fp_a, b.fp AS fp_b
@@ -228,12 +249,9 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 4 the extreme 1-bit-per-band spread is missed — documented LSH
     recall trade-off, identical in the oracle)."""
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    d = _with_hashed_shingles(docs).select("doc_id", "sh")
     f_ = _pin(
-        d.select(
-            "doc_id",
-            hashing.simhash_fingerprint(hashing.token_hashes(F.col("sh"))).alias("fp"),
-        )
+        d.select("doc_id", hashing.simhash_fingerprint(F.col("sh")).alias("fp"))
     )
     bands = F.array(
         *[
@@ -270,9 +288,8 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_topk_sql() -> str:
-    sh = _hashed_shingles_sql("text")
     return f"""
-WITH d AS (SELECT doc_id, {sh} AS sh FROM documents),
+WITH {_hashed_shingles_cte()},
 q AS (SELECT doc_id AS query_id, sh AS qsh FROM d WHERE doc_id % 100 = 0),
 scored AS (SELECT query_id, d.doc_id AS match_id,
                   round({_jaccard_sql('qsh', 'd.sh')}, 6) AS jaccard
@@ -292,7 +309,7 @@ def ns_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial top-k per partition under AQE). Exact baseline for the LSH
     dedup path."""
     docs = load_table(spark, sf_dir, "documents")
-    d = _pin(docs.select("doc_id", _hashed_shingles(F.col("text")).alias("sh")))
+    d = _pin(_with_hashed_shingles(docs).select("doc_id", "sh"))
     q = d.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("query_id"), F.col("sh").alias("qsh")
     )
