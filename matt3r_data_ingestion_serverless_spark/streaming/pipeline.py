@@ -113,6 +113,11 @@ def _ap_transition_fn(key, pdfs, state: GroupState):
     for ts_us, code in zip(rows["ts_us"], rows["code"]):
         if code is None or pd.isna(code):
             continue
+        # monotonic guard: a re-delivered (at-least-once, T3) or
+        # partition-rewrite-re-exposed sample carries an old timestamp;
+        # replaying it against newer state would fabricate transitions
+        if prev_ts is not None and int(ts_us) <= prev_ts:
+            continue
         code = int(code)
         if prev_code is not None:
             if code == 3 and prev_code <= 2:
@@ -169,6 +174,38 @@ def run_autopilot_pipeline(
     )
 
 
+def run_stationary_pipeline(
+    spark: SparkSession,
+    silver_dir: str,
+    gold_dir: str,
+    checkpoint_dir: str,
+    *,
+    gap: str = "13 seconds",
+) -> None:
+    """Stage-2a stream: silver parquet → stationary-interval events —
+    the third leg of the reference's fan-out (T2: parse ∥
+    infer-autopilot ∥ infer-stationary, serverless.yml:69-122). Both
+    stage-2 pipelines read the same silver table independently with
+    their own checkpoints, mirroring the per-queue SQS subscriptions."""
+    signals = spark.readStream.schema(
+        "device_id string, ts timestamp, channel string, values array<double>, state string, "
+        "date date, hour int"
+    ).parquet(silver_dir)
+    sessions = stationary_sessions_stream(signals, gap=gap)
+    sessions = sessions.withColumn("date", F.to_date(F.timestamp_micros(F.col("start_us"))))
+    (
+        sessions.writeStream.foreachBatch(
+            foreach_batch_upsert(
+                gold_dir, keys=["device_id", "start_us"], partition_cols=["date"]
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def stationary_sessions_stream(signals: DataFrame, *, gap: str = "13 seconds") -> DataFrame:
     """Streaming W2 variant: session_window over stationary samples.
 
@@ -179,9 +216,15 @@ def stationary_sessions_stream(signals: DataFrame, *, gap: str = "13 seconds") -
     behind the same API).
     """
     zero = signals.filter((F.col("channel") == "speed") & (F.col("values")[0] <= 0.0))
+    zero = zero.withWatermark("ts", "30 seconds")
+    if zero.isStreaming:
+        # at-least-once hardening: the silver upsert sink rewrites whole
+        # partitions, so a downstream file source re-reads old samples as
+        # new files; keyed dedupe inside the watermark horizon makes the
+        # re-delivery a no-op BEFORE it can inflate session counts
+        zero = zero.dropDuplicatesWithinWatermark(["device_id", "ts"])
     return (
-        zero.withWatermark("ts", "30 seconds")
-        .groupBy("device_id", F.session_window("ts", gap).alias("w"))
+        zero.groupBy("device_id", F.session_window("ts", gap).alias("w"))
         .agg(F.count("*").alias("n_samples"))
         .select(
             "device_id",

@@ -97,6 +97,36 @@ def test_cross_batch_ap_transition_state(spark, dirs):
     assert ("disengagement", 300_000) in statuses
 
 
+def test_full_fanout_topology(spark, dirs, tmp_path):
+    # the reference's 3-Lambda fan-out (T2): one raw drop feeds silver,
+    # then BOTH stage-2 pipelines run independently off the same silver
+    # table and land in separate gold subdirs
+    frames = [(i * 1000, 599, bytes([0x00, 0x40, 0x1F])) for i in range(20)] + [
+        (25_000, 921, bytes([0x02])),
+        (26_000, 921, bytes([0x03])),
+    ]
+    _write_raw(dirs, "drive.log", frames)
+    pl.run_silver_pipeline(spark, dirs["raw"], dirs["silver"], dirs["ckpt1"])
+    ap_gold = str(tmp_path / "gold_ap")
+    st_gold = str(tmp_path / "gold_st")
+    st_ckpt = str(tmp_path / "ckpt3")
+    pl.run_autopilot_pipeline(spark, dirs["silver"], ap_gold, dirs["ckpt2"])
+    pl.run_stationary_pipeline(spark, dirs["silver"], st_gold, st_ckpt, gap="5 seconds")
+    # ap transitions emit in-batch (stateful scan, no watermark gate)
+    ap = spark.read.parquet(ap_gold).collect()
+    assert {(r.status,) for r in ap} == {("engagement",)}
+
+    # the session is still OPEN against the 30 s watermark after one
+    # drain — append mode correctly withholds it until event time passes
+    # session end + watermark; a later sample closes and releases it
+    _write_raw(dirs, "later.log", [(60_000, 599, bytes([0x00, 0x40, 0x1F]))])
+    pl.run_silver_pipeline(spark, dirs["raw"], dirs["silver"], dirs["ckpt1"])
+    pl.run_stationary_pipeline(spark, dirs["silver"], st_gold, st_ckpt, gap="5 seconds")
+    st = spark.read.parquet(st_gold).collect()
+    assert len(st) == 1
+    assert st[0].n_samples == 20  # one fused zero-speed session
+
+
 def test_upsert_parquet_partition_scoped_merge(spark, tmp_path):
     target = str(tmp_path / "t")
     df1 = spark.createDataFrame([(1, "a", 10), (2, "a", 20), (3, "b", 30)], "k int, p string, v int")
