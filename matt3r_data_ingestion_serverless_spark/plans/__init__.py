@@ -14,5 +14,6 @@ from matt3r_data_ingestion_serverless_spark.plans import telemetry  # noqa: F401
 from matt3r_data_ingestion_serverless_spark.plans import decode_math  # noqa: F401,E402
 from matt3r_data_ingestion_serverless_spark.plans import relational  # noqa: F401,E402
 from matt3r_data_ingestion_serverless_spark.plans import northstar  # noqa: F401,E402
+from matt3r_data_ingestion_serverless_spark.plans import temporal  # noqa: F401,E402
 
 __all__ = ["QUERIES", "all_queries", "register"]

@@ -1,0 +1,145 @@
+"""Time-series join queries: as-of join, range (interval containment)
+join, and interval coalescing over the events table.
+
+The reference has no relational joins at all (SURVEY §2.6); these are
+the time-series join surface every telemetry/training-data engine
+needs. DuckDB's native ASOF JOIN / inequality joins are the oracles —
+the Spark side uses the scalable union+window composition
+(operators/temporal.py), so parity here proves the composition
+implements textbook as-of semantics exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matt3r_data_ingestion_serverless_spark.operators.temporal import (
+    asof_join,
+    coalesce_intervals,
+)
+from matt3r_data_ingestion_serverless_spark.plans.registry import register
+from matt3r_data_ingestion_serverless_spark.sources.tables import load_table
+
+
+@register(
+    "asof_join_purchase_view",
+    sql="""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       epoch_us(v.ts) AS view_ts_us,
+       round(v.value, 6) AS view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+)
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks up the user's latest prior (or
+    simultaneous) view. Spark side = union + last(ignorenulls) window —
+    one shuffle on user_id, no inequality join, no per-row scan; the
+    oracle is DuckDB's native ASOF JOIN."""
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = events.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = asof_join(
+        p, v, key="user_id", left_ts="ts", right_ts="ts", right_cols=["value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("asof_ts").alias("view_ts_us"),
+        F.round("value", 6).alias("view_value"),
+    )
+
+
+@register(
+    "range_interval_join",
+    sql="""
+WITH s AS (SELECT event_id AS signup_id, user_id, ts AS start_ts,
+                  ts + INTERVAL 1 HOUR AS end_ts
+           FROM events WHERE event_type = 'signup'),
+c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT signup_id, s.user_id, count(*) AS n_clicks,
+       round(sum(c.value), 6) AS click_value
+FROM s JOIN c ON s.user_id = c.user_id
+             AND c.ts >= s.start_ts AND c.ts < s.end_ts
+GROUP BY signup_id, s.user_id
+""",
+)
+def range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks landing inside the hour after each signup.
+    The equi-key (user_id) carries the shuffle; the range predicate is a
+    post-join filter, so this plans as a hash join, not a
+    nested-loop. A keyless band join would instead bucket both sides by
+    time (join on overlapping buckets, then filter) — same pattern as
+    the LSH candidate joins."""
+    events = load_table(spark, sf_dir, "events")
+    s = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), "value"
+    )
+    return (
+        s.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("start_ts"))
+            & (F.col("c_ts") < F.col("end_ts")),
+        )
+        .groupBy("signup_id", "user_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.round(F.sum("value"), 6).alias("click_value"),
+        )
+    )
+
+
+@register(
+    "j2_interval_coalesce",
+    sql="""
+WITH iv AS (SELECT user_id, ts AS start_ts, ts + INTERVAL 15 MINUTE AS end_ts
+            FROM events WHERE event_type = 'purchase'),
+flagged AS (
+  SELECT user_id, start_ts, end_ts,
+         CASE WHEN max(end_ts) OVER (PARTITION BY user_id ORDER BY start_ts, end_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL THEN 1
+              WHEN start_ts > max(end_ts) OVER (PARTITION BY user_id ORDER BY start_ts, end_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1
+              ELSE 0 END AS new_grp
+  FROM iv),
+grouped AS (
+  SELECT user_id, start_ts, end_ts,
+         sum(new_grp) OVER (PARTITION BY user_id ORDER BY start_ts, end_ts
+           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged)
+SELECT user_id, epoch_us(min(start_ts)) AS start_us,
+       epoch_us(max(end_ts)) AS end_us, count(*) AS n_merged
+FROM grouped GROUP BY user_id, grp
+""",
+)
+def j2_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 generalized (infer_stationary_states.py:117-133): merge
+    overlapping 15-minute activity intervals per user via running-max
+    grouping — the set-based form of the reference's prepend/append/
+    skip interval-list merge. One shuffle; running max, group id, and
+    final agg all reuse the user_id partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    iv = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTE")).alias("end_ts"),
+    )
+    merged = coalesce_intervals(iv, key="user_id", start="start_ts", end="end_ts")
+    return merged.select(
+        "user_id",
+        F.unix_micros("start_ts").alias("start_us"),
+        F.unix_micros("end_ts").alias("end_us"),
+        "n_merged",
+    )
