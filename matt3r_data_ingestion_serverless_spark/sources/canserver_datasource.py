@@ -1,0 +1,93 @@
+"""CANServer v2 as a first-class Spark data source (Python Data Source
+API, Spark 4): ``spark.read.format("canserver").load(dir)``.
+
+SURVEY §7.1 planned this as the evolution of the mapInPandas reader
+(sources/canserver.py) — same decode core, but the format participates
+in Spark's source machinery directly: one InputPartition per log file
+(files are the parallelism unit, matching the reference's
+one-Lambda-per-object model, serverless.yml:69-86), partition planning
+on the driver, decode on executors.
+
+Options:
+  device_from  'parent' (default) — device id from the containing
+               directory, mirroring the reference's object-key-prefix
+               identity (parse_canserver_filtered_log.py:302-304);
+               'stem' — from the file name.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from matt3r_data_ingestion_serverless_spark.sources.canserver import (
+    SIGNAL_SCHEMA,
+    _device_of,
+    decode_frames,
+    frames_to_signals,
+)
+
+
+class CanServerFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class CanServerReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("canserver source requires a path: .load('<dir or file>')")
+        self.device_from = options.get("device_from", "parent")
+
+    def partitions(self):
+        # driver-side file planning: one partition per log file
+        if os.path.isfile(self.path):
+            return [CanServerFilePartition(self.path)]
+        found = [
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(self.path)
+            for f in sorted(files)
+        ]
+        if not found:
+            raise ValueError(f"no CANServer files under {self.path}")
+        return [CanServerFilePartition(p) for p in found]
+
+    def read(self, partition: CanServerFilePartition) -> Iterator[tuple]:
+        import pandas as pd
+
+        device = _device_of(partition.path, self.device_from)
+        with open(partition.path, "rb") as fh:
+            data = fh.read()
+        try:
+            frames = decode_frames(data, device)
+        except ValueError as exc:
+            # S2 bad header → quarantine row (same contract as the
+            # mapInPandas reader: one bad object must not kill the scan)
+            yield (device, pd.Timestamp(0, unit="us", tz="UTC"), "_quarantine", None,
+                   f"{partition.path}: {exc}")
+            return
+        sig = frames_to_signals(frames)
+        for dev, ts_us, channel, values, state in zip(
+            sig["device_id"], sig["ts_us"], sig["channel"], sig["values"], sig["state"]
+        ):
+            yield (dev, pd.Timestamp(int(ts_us), unit="us", tz="UTC"), channel, values, state)
+
+
+class CanServerDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "canserver"
+
+    def schema(self):
+        return SIGNAL_SCHEMA
+
+    def reader(self, schema) -> CanServerReader:
+        return CanServerReader(self.options)
+
+
+def register(spark) -> None:
+    """Make ``format("canserver")`` available on this session."""
+    spark.dataSource.register(CanServerDataSource)
