@@ -95,3 +95,59 @@ def channel_documents(signals: DataFrame) -> DataFrame:
             F.struct("accel", "gyro", "location", "speed", "ap_status")
         ).alias("document"),
     )
+
+
+def stationary_documents(intervals: DataFrame) -> DataFrame:
+    """Gold stationary-interval documents in the reference's exact
+    shape (infer_stationary_states.py:108-114):
+    ``{"IMU-telematics": {"stationary-state": [{"start": s, "end": e},…]}}``
+    one row per (device, day). Epoch-seconds floats match the
+    reference's float timestamps."""
+    iv = F.struct(
+        (F.col("start_us") / 1e6).alias("start"),
+        (F.col("end_us") / 1e6).alias("end"),
+    )
+    day = F.to_date(F.timestamp_micros(F.col("start_us"))).alias("day")
+    grouped = intervals.groupBy("device_id", day).agg(
+        F.sort_array(F.collect_list(iv)).alias("_ivs")
+    )
+    return grouped.select(
+        "device_id",
+        "day",
+        F.to_json(
+            F.struct(
+                F.struct(F.col("_ivs").alias("stationary-state")).alias("IMU-telematics")
+            )
+        ).alias("document"),
+    )
+
+
+def autopilot_documents(events: DataFrame) -> DataFrame:
+    """Gold autopilot-event documents in the reference's shape
+    (infer_autopilot_states.py:91-95):
+    ``{"auditory": {"engagement": [{"timestamp": t, "canbus_state": c}],
+    "disengagement": […]}}`` per (device, day) — keeping ALL events (the
+    reference's dict-update drops all but the last per status, a
+    documented serialization bug; its merge logic shows all were
+    intended, SURVEY §3.3)."""
+
+    def by_status(status: str):
+        ev = F.struct(
+            (F.col("ts_us") / 1e6).alias("timestamp"),
+            F.col("canbus_state").alias("canbus_state"),
+        )
+        return F.sort_array(
+            F.collect_list(F.when(F.col("status") == status, ev))
+        ).alias(status)
+
+    day = F.to_date(F.timestamp_micros(F.col("ts_us"))).alias("day")
+    grouped = events.groupBy("device_id", day).agg(
+        by_status("engagement"), by_status("disengagement")
+    )
+    return grouped.select(
+        "device_id",
+        "day",
+        F.to_json(
+            F.struct(F.struct("engagement", "disengagement").alias("auditory"))
+        ).alias("document"),
+    )

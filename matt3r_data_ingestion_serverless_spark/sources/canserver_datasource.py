@@ -25,8 +25,7 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from matt3r_data_ingestion_serverless_spark.sources.canserver import (
     SIGNAL_SCHEMA,
     _device_of,
-    decode_frames,
-    frames_to_signals,
+    decode_signals,
 )
 
 
@@ -62,14 +61,13 @@ class CanServerReader(DataSourceReader):
         with open(partition.path, "rb") as fh:
             data = fh.read()
         try:
-            frames = decode_frames(data, device)
+            sig = decode_signals(data, device)
         except ValueError as exc:
             # S2 bad header → quarantine row (same contract as the
             # mapInPandas reader: one bad object must not kill the scan)
             yield (device, pd.Timestamp(0, unit="us", tz="UTC"), "_quarantine", None,
                    f"{partition.path}: {exc}")
             return
-        sig = frames_to_signals(frames)
         for dev, ts_us, channel, values, state in zip(
             sig["device_id"], sig["ts_us"], sig["channel"], sig["values"], sig["state"]
         ):

@@ -95,6 +95,37 @@ def test_timestamp_offset_assembly(offset_ms, raw):
     assert row["ts_us"] == SYNC_US + offset_ms * 1000
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 65535),
+            st.sampled_from([273, 257, 79, 599, 921, 1234]),
+            st.binary(min_size=0, max_size=8),
+        ),
+        max_size=20,
+    ),
+    st.binary(min_size=0, max_size=32),
+)
+def test_fast_path_equals_classic_path(frames, garbage):
+    # decode_signals (position scan + vectorized gather) must be
+    # row-identical to frames_to_signals(decode_frames(...)) on
+    # arbitrary frame mixes, including marks, garbage, unknown ids
+    data = (
+        cs.encode_header()
+        + cs.encode_mark("m")
+        + cs.encode_sync(SYNC_US)
+        + b"".join(cs.encode_frame(o, f, p) for o, f, p in frames)
+        + garbage
+    )
+    fast = cs.decode_signals(data, "dev")
+    classic = cs.frames_to_signals(cs.decode_frames(data, "dev"))
+    key = ["device_id", "ts_us", "channel"]
+    a = fast.sort_values(key).reset_index(drop=True).astype(str)
+    b = classic.sort_values(key).reset_index(drop=True).astype(str)
+    assert a.to_dict("records") == b.to_dict("records")
+
+
 @settings(max_examples=20, deadline=None)
 @given(st.binary(min_size=0, max_size=64))
 def test_scanner_survives_trailing_garbage(garbage):
