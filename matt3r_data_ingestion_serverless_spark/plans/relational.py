@@ -510,3 +510,57 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_supps"),
     )
+
+
+@register(
+    "quantiles_by_flag",
+    sql="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group — Spark's percentile() ==
+    DuckDB's quantile_cont (both linear interpolation). Exact
+    percentile sorts within each group; at 100 TB the approx_percentile
+    sketch (t-digest, mergeable map-side) replaces it — kept exact here
+    because approximation internals are engine-specific and would never
+    hash-match an oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99_price"),
+    )
+
+
+@register(
+    "string_normalize_extract",
+    sql="""
+SELECT p_partkey,
+       upper(trim(p_name)) AS name_u,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+       len(p_name) AS name_len,
+       CAST(substr(p_name, 1, 5) AS VARCHAR) AS name_head,
+       contains(p_name, 'an') AS has_an,
+       CAST(strpos(p_name, 'a') AS INT) AS first_a
+FROM part WHERE p_partkey <= 500
+""",
+)
+def string_normalize_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth (the surface text ETL assumes): case,
+    trim, global regexp_replace, length, substring, containment,
+    position — all whole-stage-codegen JVM expressions, no UDF."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper(F.trim(F.col("p_name"))).alias("name_u"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.col("p_name").contains("an").alias("has_an"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+    )
