@@ -309,18 +309,36 @@ def ns_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial top-k per partition under AQE). Exact baseline for the LSH
     dedup path."""
     docs = load_table(spark, sf_dir, "documents")
-    d = _pin(_with_hashed_shingles(docs).select("doc_id", "sh"))
-    q = d.filter(F.col("doc_id") % 100 == 0).select(
-        F.col("doc_id").alias("query_id"), F.col("sh").alias("qsh")
+    d = _pin(
+        _with_hashed_shingles(docs)
+        .select("doc_id", "sh")
+        .withColumn("n_sh", F.size("sh"))
     )
-    scored = (
-        d.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("doc_id").alias("match_id"),
-            F.round(_jaccard(F.col("qsh"), F.col("sh")), 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") > 0)
+    q = d.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode("sh").alias("h"),
+        F.col("n_sh").alias("n_q"),
+    )
+    # inverted index: |A∩B| via equi-join on the shingle hash — only
+    # docs SHARING a shingle are ever scored (jaccard > 0 is implied),
+    # and the pair loop over array intersections disappears. At corpus
+    # scale this is the textbook prune: join cost follows shingle
+    # posting-list sizes, not |queries|×|corpus|.
+    dx = d.select(F.col("doc_id").alias("match_id"), F.explode("sh").alias("h"))
+    inter = (
+        F.broadcast(q)
+        .join(dx, "h")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .groupBy("query_id", "match_id", "n_q")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = d.select(F.col("doc_id").alias("match_id"), F.col("n_sh").alias("n_m"))
+    scored = inter.join(sizes, "match_id").select(
+        "query_id",
+        "match_id",
+        F.round(
+            F.col("n_inter") / (F.col("n_q") + F.col("n_m") - F.col("n_inter")), 6
+        ).alias("jaccard"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("jaccard"), F.asc("match_id"))
     return (
