@@ -174,6 +174,91 @@ def run_autopilot_pipeline(
     )
 
 
+# per-device zero-run state for the EXACT streaming W2: the open run's
+# boundaries plus the last seen timestamp (monotonic re-delivery guard)
+_ST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_start_us", T.LongType()),
+        T.StructField("last_zero_us", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+_ST_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("device_id", T.StringType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def _stationary_fn_factory(zero_threshold: float, min_duration_s: float, trim_s: float):
+    min_dur_us = int(min_duration_s * 1_000_000)
+    trim_us = int(trim_s * 1_000_000)
+
+    def fn(key, pdfs, state: GroupState):
+        run_start, last_zero, last_ts = state.get if state.exists else (None, None, None)
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_us")
+        out = []
+        for ts_us, speed in zip(rows["ts_us"], rows["speed"]):
+            ts_us = int(ts_us)
+            if last_ts is not None and ts_us <= last_ts:
+                continue  # re-delivered sample (T3) — no-op
+            last_ts = ts_us
+            if speed <= zero_threshold:
+                if run_start is None:
+                    run_start = ts_us
+                last_zero = ts_us
+            elif run_start is not None:
+                # nonzero closes the run at the LAST zero sample
+                # (infer_stationary_states.py:86-93 semantics)
+                if last_zero - run_start >= min_dur_us:
+                    out.append(
+                        (
+                            key[0],
+                            run_start + trim_us,
+                            last_zero - trim_us,
+                            round((last_zero - run_start) / 1e6, 6),
+                        )
+                    )
+                run_start = last_zero = None
+        state.update((run_start, last_zero, last_ts))
+        yield pd.DataFrame(out, columns=["device_id", "start_us", "end_us", "duration_s"])
+
+    return fn
+
+
+def stationary_intervals_stream(
+    signals: DataFrame,
+    *,
+    zero_threshold: float = 0.0,
+    min_duration_s: float = 13.0,
+    trim_s: float = 3.0,
+) -> DataFrame:
+    """EXACT streaming W2 — identical semantics to the batch
+    operators/stationary.py (zero-run boundaries, duration gate, trim),
+    with the run carried across micro-batches in GroupState. Unlike the
+    session_window variant (gap approximation, watermark-gated
+    emission), a run emits the moment a nonzero sample closes it, and a
+    run straddling any number of batches stays one run. Open runs at
+    end-of-input remain in state (the batch operator closes them at
+    series end — the one intentional difference, since a stream has no
+    end)."""
+    zero = (
+        signals.filter(F.col("channel") == "speed")
+        .withColumn("ts_us", F.unix_micros("ts"))
+        .select("device_id", "ts_us", F.col("values")[0].alias("speed"))
+    )
+    return zero.groupBy("device_id").applyInPandasWithState(
+        _stationary_fn_factory(zero_threshold, min_duration_s, trim_s),
+        outputStructType=_ST_OUTPUT_SCHEMA,
+        stateStructType=_ST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stationary_pipeline(
     spark: SparkSession,
     silver_dir: str,

@@ -6,6 +6,7 @@ watermark dedupe (W3), and cross-batch stateful transition detection.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from matt3r_data_ingestion_serverless_spark.operators.merge import upsert_parquet
 from matt3r_data_ingestion_serverless_spark.sources import canserver as cs
@@ -125,6 +126,55 @@ def test_full_fanout_topology(spark, dirs, tmp_path):
     st = spark.read.parquet(st_gold).collect()
     assert len(st) == 1
     assert st[0].n_samples == 20  # one fused zero-speed session
+
+
+def test_exact_stationary_stream_matches_batch(spark, dirs, tmp_path):
+    # EXACT streaming W2: a zero-run straddling the batch boundary stays
+    # ONE run (GroupState carry) and the emitted interval equals the
+    # batch operator's on the concatenated series
+    from matt3r_data_ingestion_serverless_spark.operators.stationary import (
+        stationary_intervals,
+    )
+
+    zero = bytes([0x00, 0x40, 0x1F])  # speed 0.0
+    fast = bytes([0x00, 0xF0, 0xFF])  # speed 287.6
+    f1 = [(i * 1000, 599, zero) for i in range(8)]  # zeros 0..7s
+    f2 = [(i * 1000, 599, zero) for i in range(8, 15)] + [(20_000, 599, fast)]
+
+    _write_raw(dirs, "f1.log", f1)
+    pl.run_silver_pipeline(spark, dirs["raw"], dirs["silver"], dirs["ckpt1"])
+    sink, ckpt = str(tmp_path / "st_exact"), str(tmp_path / "ckpt_st")
+
+    def drain():
+        signals = spark.readStream.schema(
+            "device_id string, ts timestamp, channel string, values array<double>, "
+            "state string, date date, hour int"
+        ).parquet(dirs["silver"])
+        (
+            pl.stationary_intervals_stream(signals)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()  # batch 1: run still open → nothing emitted
+    _write_raw(dirs, "f2.log", f2)
+    pl.run_silver_pipeline(spark, dirs["raw"], dirs["silver"], dirs["ckpt1"])
+    drain()  # batch 2: nonzero closes the 0..14s run
+
+    got = spark.read.parquet(sink).collect()
+    assert len(got) == 1
+
+    batch_signals = cs.read_canserver(spark, dirs["raw"]).select(
+        "device_id", "ts", F.col("values")[0].alias("speed")
+    )
+    want = stationary_intervals(batch_signals, speed="speed").collect()
+    assert [(r.device_id, r.start_us, r.end_us, r.duration_s) for r in got] == [
+        (r.device_id, r.start_us, r.end_us, r.duration_s) for r in want
+    ]
 
 
 def test_upsert_parquet_partition_scoped_merge(spark, tmp_path):
