@@ -564,3 +564,18 @@ def string_normalize_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").contains("an").alias("has_an"),
         F.instr(F.col("p_name"), "a").alias("first_a"),
     )
+
+
+@register("approx_quantiles_by_flag")  # rows-only: sketch internals are engine-specific
+def approx_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path: approx_percentile's mergeable sketch
+    aggregates map-side and combines in one narrow shuffle — no
+    per-group sort, bounded memory at any cardinality. Exact
+    quantiles_by_flag is the hash-matched oracle twin; this entry gets
+    the driver's rows-only check (approximation differs per engine by
+    design)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").alias("qty_q"),
+        F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("p99_price"),
+    )

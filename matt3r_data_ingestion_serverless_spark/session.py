@@ -35,6 +35,12 @@ def get_spark(app_name: str = "matt3r-dpl-spark", extra_conf: dict | None = None
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # static conf: bucketed tables (saveAsTable) land outside the
+        # repo; per-test override is impossible once the JVM is up
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has
         # no nanos timestamp — read as long and convert at the source
