@@ -566,6 +566,60 @@ def string_normalize_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j5_merge_into",
+    sql="""
+WITH source AS (
+    SELECT c_custkey, c_name, c_nationkey, 0.0 AS c_acctbal, c_mktsegment, 'U' AS op
+    FROM customer WHERE c_acctbal < 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'D'
+    FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+    UNION ALL
+    SELECT 1000000 + s_suppkey, s_name, s_nationkey, s_acctbal, 'WHOLESALE', 'I'
+    FROM supplier
+)
+SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+       CASE WHEN s.c_custkey IS NULL THEN t.c_name ELSE s.c_name END AS c_name,
+       CASE WHEN s.c_custkey IS NULL THEN t.c_nationkey ELSE s.c_nationkey END AS c_nationkey,
+       CASE WHEN s.c_custkey IS NULL THEN t.c_acctbal ELSE s.c_acctbal END AS c_acctbal,
+       CASE WHEN s.c_custkey IS NULL THEN t.c_mktsegment ELSE s.c_mktsegment END AS c_mktsegment
+FROM customer t FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey
+WHERE s.c_custkey IS NULL OR s.op <> 'D'
+""",
+)
+def j5_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE semantics as one full-outer join + conditional
+    projection (operators/merge.py:merge_plan) — the keyed row-level
+    form of the reference's per-file list merge
+    (infer_stationary_states.py:117-133). Source = zero-out negative
+    balances (UPDATE), drop rich BUILDING customers (DELETE), graft
+    suppliers in as customers (INSERT); oracle is the equivalent SQL
+    full-outer-join rewrite."""
+    from matt3r_data_ingestion_serverless_spark.operators.merge import merge_plan
+
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    updates = (
+        c.filter(F.col("c_acctbal") < 0)
+        .withColumn("c_acctbal", F.lit(0.0))
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = c.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    ).withColumn("op", F.lit("D"))
+    inserts = s.select(
+        (F.lit(1000000) + F.col("s_suppkey")).alias("c_custkey"),
+        F.col("s_name").alias("c_name"),
+        F.col("s_nationkey").alias("c_nationkey"),
+        F.col("s_acctbal").alias("c_acctbal"),
+        F.lit("WHOLESALE").alias("c_mktsegment"),
+        F.lit("I").alias("op"),
+    )
+    source = updates.unionByName(deletes).unionByName(inserts)
+    return merge_plan(c, source, ["c_custkey"], delete_condition=F.col("op") == "D")
+
+
 @register("approx_quantiles_by_flag")  # rows-only: sketch internals are engine-specific
 def approx_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB quantile path: approx_percentile's mergeable sketch
