@@ -80,6 +80,22 @@ def predict_lang(toks: Column) -> Column:
     return best
 
 
+def argmax_lang(hits: list[tuple[str, Column]]) -> Column:
+    """Argmax over PRECOMPUTED per-language hit columns. predict_lang
+    inlines stopword_hits into the when-chain, where each hits_i is
+    re-evaluated by every later branch (the chain doubles references
+    per level — exponential expression blowup). Projecting the counts
+    first (CollapseProject keeps multiply-referenced non-cheap columns
+    materialized) makes the argmax a when-chain over scalar ints."""
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang, h in hits:
+        better = h > best_n
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_n = F.when(better, h).otherwise(best_n)
+    return best
+
+
 def predict_lang_sql(toks_expr: str) -> str:
     # mirrors the same left-to-right argmax fold
     expr_best, expr_n = "'und'", "0"

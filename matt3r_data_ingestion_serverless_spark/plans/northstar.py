@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from matt3r_data_ingestion_serverless_spark.functions import hashing, text, vectors
 from matt3r_data_ingestion_serverless_spark.operators import multimodal
 from matt3r_data_ingestion_serverless_spark.plans.registry import register
-from matt3r_data_ingestion_serverless_spark.sources.tables import load_table
+from matt3r_data_ingestion_serverless_spark.sources.tables import load_table, spread
 
 # ---------------------------------------------------------------------------
 # shared shingle/signature fragments (Spark + DuckDB twins)
@@ -155,7 +155,7 @@ def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on md5(text), keep the min doc_id per
     content hash. One narrow shuffle on a 16-byte key; at 100 TB the
     map-side partial agg collapses each partition's dups first."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.groupBy(F.md5("text").alias("content_hash"))
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
@@ -188,7 +188,7 @@ def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, so the shuffle is linear and within-bucket pair expansion
     is bounded; exact Jaccard touches only candidates. Signature
     computation is pure higher-order functions (no UDF, no shuffle)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     d = _with_hashed_shingles(docs).select("doc_id", "sh")
     # pin shingles+signature together: band explode AND the verify
     # join-back both read this one cached stage
@@ -248,7 +248,7 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash byte-block trick (any pair within Hamming 3 shares a byte;
     at 4 the extreme 1-bit-per-band spread is missed — documented LSH
     recall trade-off, identical in the oracle)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     d = _with_hashed_shingles(docs).select("doc_id", "sh")
     f_ = _pin(
         d.select("doc_id", hashing.simhash_fingerprint(F.col("sh")).alias("fp"))
@@ -308,7 +308,7 @@ def ns_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is scanned once with per-row scoring, then a per-query top-k window
     (partial top-k per partition under AQE). Exact baseline for the LSH
     dedup path."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     d = _pin(
         _with_hashed_shingles(docs)
         .select("doc_id", "sh")
@@ -361,7 +361,7 @@ def _emb_norm_cte() -> str:
 
 
 def _emb_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     v = vectors.as_double(F.col("embedding"))
     return _pin(
         emb.select("vec_id", v.alias("v")).withColumn("nrm", vectors.l2_norm(F.col("v")))
@@ -392,7 +392,7 @@ def ns_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked_cosine_pairs,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") % 10 == 0)
     return blocked_cosine_pairs(emb, q, COSINE_DUP)
 
@@ -527,7 +527,7 @@ def ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query. This trades recall (documented: true neighbors outside
     the probed cell are missed) for a k× scan reduction — the standard
     IVF contract. Brute-force ns_ann_cosine_topk is the recall oracle."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     e = emb.select("vec_id", "label", vectors.as_double(F.col("embedding")).alias("v"))
     n = _pin(e.withColumn("nrm", vectors.l2_norm(F.col("v"))))
     # centroids: per-dim mean via posexplode → (label, i) hash agg → re-assemble
@@ -584,7 +584,7 @@ def ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features (length / punctuation / stopword
     ratios) — pure per-row column expressions, zero shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     metrics = text.quality_metrics(F.col("text"))
     return docs.select("doc_id", *[c.alias(n) for n, c in metrics.items()])
 
@@ -602,13 +602,22 @@ def ns_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (confusion counts). The synthetic corpus vocabulary is English-ish,
     so predictions skew en/und — the point is the deterministic
     heuristic, mirrored exactly in the oracle."""
-    docs = load_table(spark, sf_dir, "documents")
-    # project tokens ONCE: the argmax references the token array ~10×,
-    # and CollapseProject keeps multiply-referenced non-cheap
-    # expressions in their own projection instead of inlining the split
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # three-stage projection: tokens once, then the five hit counts
+    # once each, then the argmax over plain int columns — each level's
+    # non-cheap expressions stay materialized (CollapseProject), so
+    # nothing is re-evaluated by the when-chain's doubled references
     toked = docs.select("lang", text.tokens(F.col("text")).alias("toks"))
+    hit_cols = toked.select(
+        "lang",
+        *[
+            text.stopword_hits(F.col("toks"), lang).alias(f"h_{lang}")
+            for lang in text.LANGS
+        ],
+    )
+    pred = text.argmax_lang([(lang, F.col(f"h_{lang}")) for lang in text.LANGS])
     return (
-        toked.select("lang", text.predict_lang(F.col("toks")).alias("pred_lang"))
+        hit_cols.select("lang", pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -627,7 +636,7 @@ FROM documents
 def ns_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, BPE-ish regex tokens, distinct
     tokens — the per-doc stats a data-curation pipeline filters on."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.size(text.tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
@@ -651,7 +660,7 @@ def ns_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     style fold acc = (acc·31 + H(token)) mod 2³¹−1 over the token
     sequence. Unlike md5(text) this survives whitespace-normalization
     pipelines that retokenize."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     hashes = hashing.token_hashes(text.tokens(F.col("text")))
     fp = F.aggregate(
         hashes,
@@ -690,7 +699,7 @@ def ns_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts per source. One corpus scan, one narrow shuffle on the
     16-byte content hash, one tiny final aggregate; the quality gate
     runs map-side BEFORE the shuffle, so filtered docs never ship."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toked = docs.select(
         "doc_id", "source", "text", text.tokens(F.col("text")).alias("toks")
     )
@@ -730,7 +739,7 @@ def ns_multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     UTF-8 payload (stand-in for image/audio bytes — the container has no
     codec libs), metadata is (mime, n_bytes, checksum). The binary
     column itself is never shipped to the driver; only metadata is."""
-    docs = multimodal.with_blob(load_table(spark, sf_dir, "documents"))
+    docs = multimodal.with_blob(spread(load_table(spark, sf_dir, "documents")))
     return docs.select(
         "doc_id",
         "mime",
@@ -746,5 +755,5 @@ def ns_multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (real codecs unavailable here — see multimodal.decode_image); the
     Spark-side plumbing (binary schema, batch iteration, 1→N row
     expansion, typed feature array output) is the real thing."""
-    docs = multimodal.with_blob(load_table(spark, sf_dir, "documents"))
+    docs = multimodal.with_blob(spread(load_table(spark, sf_dir, "documents")))
     return multimodal.frame_features(docs.select("doc_id", "blob"))

@@ -38,3 +38,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to full parallelism before a CPU-bound
+    stage (text hashing, vector folds). Small local files arrive as ONE
+    scan partition (file size < maxPartitionBytes), serializing the
+    whole pipeline; one tiny round-robin shuffle unlocks every core. At
+    production scale scans already have ≥ cores partitions and this is
+    a no-op — the gate makes the trade explicit, not ambient."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
