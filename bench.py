@@ -50,6 +50,7 @@ def main() -> None:
             registry[name][0](spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # warm-up must never sink the bench
+    spark.catalog.clearCache()
     registry[names[0]][0](spark, sf_dir).count()  # file-listing warm
 
     timings: dict[str, float] = {}
@@ -58,6 +59,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # queries pin intermediate stages with .cache(); drop them so
+        # accumulated blocks don't tax later queries' GC and eviction
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
