@@ -1,0 +1,279 @@
+"""Corpus-curation queries a large-scale training-data pipeline needs
+beyond per-doc scoring: TF-IDF term weighting, vocabulary statistics,
+train/eval contamination detection, and duplicate-cluster resolution
+(connected components). All operate on the `documents` table and pair
+with exact DuckDB oracles (the CC oracle is a recursive CTE).
+
+These extend the north-star set (plans/northstar.py) — same shingle /
+hashing fragments, same cross-engine determinism rules (md5-derived
+hashes, round(…, 6) on every float that reaches the result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from matt3r_data_ingestion_serverless_spark.functions import text
+from matt3r_data_ingestion_serverless_spark.plans.northstar import (
+    JACCARD_DUP,
+    _hashed_shingles_cte,
+    _with_hashed_shingles,
+    _pin,
+)
+from matt3r_data_ingestion_serverless_spark.plans.registry import register
+from matt3r_data_ingestion_serverless_spark.sources.tables import load_table, spread
+
+TFIDF_TOP_K = 3  # terms kept per document
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 → held-out eval split
+CONTAM_MIN_SHARED = 5  # distinct shared shingles to flag contamination
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ns_tfidf_top_terms",
+    sql=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({text.tokens_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, rnk, tfidf FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+""",
+)
+def ns_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-{k} most characteristic terms per document.
+
+    Scale: token explode → two chained hash aggs, both with map-side
+    partials. The document-frequency table is vocabulary-sized (≪
+    corpus), so its join back onto term frequencies broadcasts; the
+    corpus count is a 1-row broadcast cross join, never a collect. The
+    final per-doc top-k window repartitions by doc_id — same key as the
+    tf agg, so AQE reuses the exchange."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "rnk", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary statistics (Heaps-law style curation diagnostics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ns_vocab_stats",
+    sql=f"""
+WITH tok AS (
+  SELECT source, unnest({text.tokens_sql('text')}) AS term FROM documents
+),
+tc AS (SELECT source, term, count(*) AS n FROM tok GROUP BY source, term)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct_terms,
+       CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax,
+       round(count(*)::DOUBLE / sum(n), 6) AS type_token_ratio
+FROM tc GROUP BY source
+""",
+)
+def ns_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics: token mass, distinct terms,
+    hapax legomena, type/token ratio — the Heaps-law diagnostics used to
+    spot low-diversity (template/boilerplate-heavy) sources.
+
+    Scale: one token explode feeding a (source, term) hash agg with
+    map-side partials — the only wide exchange; the per-source rollup
+    then aggregates a vocabulary-sized table down to |sources| rows."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(text.tokens(F.col("text"))).alias("term"))
+    tc = tok.groupBy("source", "term").agg(F.count("*").alias("n"))
+    return tc.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").alias("n_distinct_terms"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.round(F.count("*") / F.sum("n"), 6).alias("type_token_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# train/eval contamination detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ns_contamination_overlap",
+    sql=f"""
+WITH {_hashed_shingles_cte()},
+ev AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id % {EVAL_MOD} != 0),
+hits AS (
+  SELECT tr.doc_id AS train_doc_id, ev.doc_id AS eval_doc_id,
+         count(DISTINCT tr.s) AS n_shared
+  FROM tr JOIN ev USING (s)
+  GROUP BY tr.doc_id, ev.doc_id
+)
+SELECT train_doc_id, eval_doc_id, n_shared
+FROM hits WHERE n_shared >= {CONTAM_MIN_SHARED}
+""",
+)
+def ns_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: flag training documents sharing ≥
+    {t} distinct 3-gram shingles with any held-out eval document
+    (deterministic split: doc_id % {m} == 0 → eval).
+
+    Scale: the eval split is a small fraction of the corpus, so its
+    exploded shingle index BROADCASTS; the train side streams through a
+    broadcast hash join — the 100 TB corpus is scanned once and never
+    shuffled on the shingle key. The per-pair distinct count aggregates
+    only joined hits (contamination is rare by construction). Had both
+    sides been large, the fallback is the same inverted-index shuffle
+    join as ns_ngram_jaccard_topk with stop-shingle (high-df) removal
+    to cap posting-list skew."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    d = _pin(_with_hashed_shingles(docs).select("doc_id", "sh"))
+    ev = (
+        d.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"), F.explode("sh").alias("s"))
+    )
+    tr = (
+        d.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .select(F.col("doc_id").alias("train_doc_id"), F.explode("sh").alias("s"))
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count_distinct("s").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _dup_clusters_sql() -> str:
+    # undirected transitive closure by recursive CTE, then min reachable
+    # id per node = cluster id (DuckDB explores the closure; fine at
+    # oracle scale — the Spark side is the one that must scale)
+    from matt3r_data_ingestion_serverless_spark.plans.northstar import _minhash_lsh_sql
+
+    pairs = _minhash_lsh_sql().strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+),
+lbl AS (
+  SELECT node, least(min(r), node) AS cluster_id
+  FROM reach GROUP BY node
+)
+SELECT node AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lbl
+"""
+
+
+@register("ns_dup_clusters", sql=_dup_clusters_sql())
+def ns_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-dup PAIRS (MinHash-LSH verified, Jaccard ≥ {j}) into
+    duplicate CLUSTERS: each document labeled with the min doc_id
+    reachable through the dup graph (connected components), plus the
+    cluster size — the unit a dedup pipeline keeps one representative
+    from.
+
+    Scale: iterative min-label propagation — per round, each node takes
+    the min label among itself and its neighbors (one shuffle join on
+    the edge list + one hash agg per round); rounds = graph diameter,
+    and dup clusters are shallow (pairwise-similar groups → diameter
+    ≤ ~2), so 2–4 rounds suffice where the alternating large/small-star
+    algorithm would be needed for long-chain graphs. Each round
+    localCheckpoints the label table: the loop is driver-side but every
+    data operation is a distributed join — no collect. Convergence is
+    detected with a count of changed labels (one tiny action per
+    round)."""
+    from matt3r_data_ingestion_serverless_spark.plans.northstar import (
+        ns_dedup_minhash_lsh,
+    )
+
+    pairs = ns_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = _pin(
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("src", "dst")
+    )
+    # nodes start labeled with themselves
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        # candidate label for each node: min over neighbors' labels
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("neigh_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage: plan size stays O(1) per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+    )
