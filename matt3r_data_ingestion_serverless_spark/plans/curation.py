@@ -277,3 +277,121 @@ def ns_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.count("*").over(w).alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch-based estimation
+# ---------------------------------------------------------------------------
+
+
+def _minhash_est_sql() -> str:
+    from matt3r_data_ingestion_serverless_spark.functions import hashing
+    from matt3r_data_ingestion_serverless_spark.plans.northstar import (
+        _jaccard_sql,
+        _minhash_band_structs_sql,
+    )
+
+    sig = hashing.minhash_from_hashes_sql("sh")
+    n = hashing.N_MINHASHES
+    return f"""
+WITH {_hashed_shingles_cte()},
+s AS (SELECT doc_id, sh, {sig} AS sig FROM d),
+bk AS (SELECT doc_id, unnest({_minhash_band_structs_sql()}, recursive := true) FROM s),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+                           AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       round(len(list_filter(range(1, {n} + 1),
+             i -> sa.sig[i] = sb.sig[i]))::DOUBLE / {n}, 6) AS est_jaccard,
+       round({_jaccard_sql('sa.sh', 'sb.sh')}, 6) AS exact_jaccard
+FROM cand JOIN s sa ON doc_a = sa.doc_id
+          JOIN s sb ON doc_b = sb.doc_id
+"""
+
+
+@register("ns_minhash_jaccard_est", sql=_minhash_est_sql())
+def ns_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based similarity ESTIMATION: for every LSH candidate pair,
+    the MinHash estimate of Jaccard (fraction of agreeing signature
+    components) side by side with the exact value — the measured
+    sketch-accuracy contract a pipeline relies on when it skips exact
+    verification at scale.
+
+    Scale: signatures are {n}×8 bytes per doc regardless of doc length,
+    so the estimate join moves sketch bytes, not shingle sets — at
+    100 TB the exact column here is the audit; production reads only
+    `est_jaccard`. Candidate generation shares the banded-LSH shape of
+    ns_dedup_minhash_lsh (linear shuffle, bounded buckets)."""
+    from matt3r_data_ingestion_serverless_spark.functions import hashing
+    from matt3r_data_ingestion_serverless_spark.plans.northstar import (
+        _jaccard,
+        _minhash_band_structs,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    d = _with_hashed_shingles(docs).select("doc_id", "sh")
+    s = _pin(
+        d.select(
+            "doc_id", "sh", hashing.minhash_from_hashes(F.col("sh")).alias("sig")
+        )
+    )
+    bk = s.select(
+        "doc_id", F.explode(_minhash_band_structs(F.col("sig"))).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b"))
+    n_eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(n_eq / hashing.N_MINHASHES, 6).alias("est_jaccard"),
+            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("exact_jaccard"),
+        )
+    )
+
+
+@register("sketch_hll_rollup")  # no oracle: datasketches binary is engine-specific
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-source HLL sketches of the distinct
+    term vocabulary, then a GLOBAL estimate obtained by UNIONING the
+    per-source sketches — never re-scanning the corpus. This is the
+    100 TB pattern for distinct-count dashboards: materialize small
+    partial sketches per partition/day, answer any rollup by merging
+    kilobytes. (Apache DataSketches HLL via hll_sketch_agg /
+    hll_union_agg; estimates are engine-specific → rows-only driver
+    check, accuracy asserted against exact counts in pytest.)"""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(text.tokens(F.col("text"))).alias("term"))
+    per_source = tok.groupBy("source").agg(
+        F.hll_sketch_agg("term", F.lit(14)).alias("sk")
+    )
+    per_source = _pin(per_source)
+    source_rows = per_source.select(
+        "source", F.hll_sketch_estimate("sk").cast("long").alias("est_distinct_terms")
+    )
+    global_row = per_source.agg(
+        F.hll_union_agg("sk").alias("sk")
+    ).select(
+        F.lit("ALL").alias("source"),
+        F.hll_sketch_estimate("sk").cast("long").alias("est_distinct_terms"),
+    )
+    return source_rows.unionByName(global_row)
