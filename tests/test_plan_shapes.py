@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: the scale claims in the query
+docstrings (filter pushdown, column pruning, broadcast dimension joins,
+map-side partial aggregation) asserted mechanically, so a refactor that
+silently degrades the 100 TB plan fails CI — not just the stopwatch.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from matt3r_data_ingestion_serverless_spark.plans import all_queries
+from tests.conftest import SF_CORRECTNESS
+
+_QUERIES = all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = _QUERIES[name][0](spark, SF_CORRECTNESS)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    line = pushed[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in line, line
+    assert "IsNotNull" in line or "GreaterThan" in line, line
+
+
+def test_q6_column_pruning(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    # only the 4 referenced columns may be read — never the full table
+    assert "l_orderkey" not in read and "l_comment" not in read, read
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read, read
+
+
+def test_dimension_joins_broadcast(spark):
+    """q3/q5: dimension edges must be broadcast — a sort-merge join on a
+    dimension edge means the fact table shuffles needlessly."""
+    for name in ("q3_shipping_priority", "q5_local_supplier_volume"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+
+
+def test_q5_single_shuffle_join(spark):
+    """q5's only non-broadcast join edge is lineitem⋈orders: at most one
+    SortMergeJoin/ShuffledHashJoin in the plan."""
+    plan = _plan(spark, "q5_local_supplier_volume")
+    n_shuffle_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_shuffle_joins <= 1, plan
+
+
+def test_exact_dedup_partial_agg(spark):
+    """ns_dedup_exact must partial-aggregate map-side: per-partition
+    duplicate collapse BEFORE the shuffle is the whole scale story."""
+    plan = _plan(spark, "ns_dedup_exact")
+    assert "partial_min" in plan or "partial_count" in plan, plan
+
+
+def test_q1_partial_agg_before_exchange(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # formatted explain lists HashAggregate (partial) then Exchange then
+    # HashAggregate (final): partial functions appear in the detail
+    assert "partial_sum" in plan, plan
+
+
+def test_tfidf_df_table_broadcast(spark):
+    """The vocabulary-sized document-frequency table must broadcast back
+    onto term frequencies (an explicit hint — but verify Catalyst kept
+    it after optimization)."""
+    plan = _plan(spark, "ns_tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan, plan
