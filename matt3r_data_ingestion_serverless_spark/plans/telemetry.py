@@ -413,3 +413,90 @@ def d10_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("h"),
         F.date_format("ts", "dd/MM/yyyy HH:mm:ss").alias("ts_fmt"),
     )
+
+
+@register(
+    "w2_streamed_stationary",
+    sql=f"""
+WITH z AS (
+  SELECT user_id, ts,
+         CASE WHEN value <= {STATIONARY_THRESHOLD} THEN 1 ELSE 0 END AS zz
+  FROM events
+), c AS (
+  SELECT user_id, ts, zz,
+         CASE WHEN zz <> lag(zz, 1, -1) OVER (PARTITION BY user_id ORDER BY ts)
+              THEN 1 ELSE 0 END AS chg
+  FROM z
+), r AS (
+  SELECT user_id, ts, zz,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM c
+), g AS (
+  SELECT user_id, min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+  FROM r WHERE zz = 1 GROUP BY user_id, run_id
+), mx AS (
+  SELECT user_id, max(epoch_us(ts)) AS mx_us FROM events GROUP BY user_id
+)
+SELECT g.user_id,
+       s_us + {int(STATIONARY_TRIM_S * 1e6)} AS start_us,
+       e_us - {int(STATIONARY_TRIM_S * 1e6)} AS end_us,
+       round((e_us - s_us) / 1e6, 6) AS duration_s
+FROM g JOIN mx ON g.user_id = mx.user_id
+WHERE e_us - s_us >= {int(STATIONARY_MIN_DUR_S * 1e6)}
+  AND e_us < mx_us
+""",
+)
+def w2_streamed_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 through the STREAMING engine, inside the correctness gate:
+    the events table is replayed as a file-source stream
+    (Trigger.AvailableNow), zero-runs are assembled by the stateful
+    applyInPandasWithState operator (streaming/pipeline.py:
+    stationary_intervals_stream — run state carried in GroupState), and
+    the memory-sink result is compared against the SAME window-SQL
+    oracle as batch `w2_stationary_intervals`, restricted to CLOSED
+    runs: a stream never sees end-of-input, so a trailing zero-run
+    (run end == the user's last sample) legitimately stays open in
+    state — the oracle's `e_us < mx_us` clause states exactly that
+    contract. Batch = streaming on every closed run is the engine's
+    core equivalence claim (SURVEY §7.1), here checked by the driver,
+    not just pytest."""
+    import uuid
+
+    from matt3r_data_ingestion_serverless_spark.streaming.pipeline import (
+        stationary_intervals_stream,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sig = stream.select(
+        F.col("user_id").cast("string").alias("device_id"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        F.lit("speed").alias("channel"),
+        F.array("value").alias("values"),
+    )
+    out = stationary_intervals_stream(
+        sig,
+        zero_threshold=STATIONARY_THRESHOLD,
+        min_duration_s=STATIONARY_MIN_DUR_S,
+        trim_s=STATIONARY_TRIM_S,
+    )
+    sink = f"w2_streamed_{uuid.uuid4().hex[:8]}"
+    (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink).select(
+        F.col("device_id").cast("long").alias("user_id"),
+        "start_us",
+        "end_us",
+        "duration_s",
+    )
