@@ -500,3 +500,135 @@ def w2_streamed_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_us",
         "duration_s",
     )
+
+
+@register(
+    "w1_streamed_transitions",
+    sql=f"""
+WITH coded AS (
+  SELECT user_id, ts, {_CODE_CASE_SQL} AS code FROM events
+), lagged AS (
+  SELECT user_id, ts, code,
+         lag(code, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM coded
+)
+SELECT user_id, epoch_us(ts) AS ts_us,
+       CASE WHEN code = 3 AND prev <= 2 THEN 'engagement'
+            ELSE 'disengagement' END AS status,
+       CAST(code AS DOUBLE) AS canbus_state
+FROM lagged
+WHERE (code = 3 AND prev <= 2) OR (code <= 2 AND prev = 3)
+""",
+)
+def w1_streamed_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 through the STREAMING engine, graded against the IDENTICAL
+    batch oracle: unlike W2's runs, a transition emits the moment its
+    second sample arrives — no end-of-input asymmetry, so streamed
+    output must equal batch output row-for-row. The lag state
+    (last ts, last code per device) lives in GroupState; a transition
+    whose two samples land in different micro-batches is still
+    detected — strictly better than the reference's per-file scan
+    (infer_autopilot_states.py:78-88), which loses the file boundary."""
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from matt3r_data_ingestion_serverless_spark.streaming.pipeline import (
+        _AP_OUTPUT_SCHEMA,
+        _AP_STATE_SCHEMA,
+        _ap_transition_fn,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    coded = stream.select(
+        F.col("user_id").cast("string").alias("device_id"),
+        F.expr("ts div 1000").alias("ts_us"),
+        _event_code_col().alias("code"),
+    )
+    out = coded.groupBy("device_id").applyInPandasWithState(
+        _ap_transition_fn,
+        outputStructType=_AP_OUTPUT_SCHEMA,
+        stateStructType=_AP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"w1_streamed_{uuid.uuid4().hex[:8]}"
+    (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink).select(
+        F.col("device_id").cast("long").alias("user_id"),
+        "ts_us",
+        "status",
+        "canbus_state",
+    )
+
+
+@register(
+    "w5_streamed_hourly",
+    sql="""
+SELECT user_id,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket,
+       count(*) AS n_samples,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+""",
+)
+def w5_streamed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 hourly tumbling windows through Structured Streaming's native
+    windowed aggregation (`F.window`, 1-hour tumble) in COMPLETE output
+    mode — the streaming state store carries every open window's partial
+    aggregate across micro-batches, and the result must equal the batch
+    hash-aggregate bucket-for-bucket (same oracle shape as
+    `w5_hourly_buckets`). This is the W3 watermark machinery's
+    aggregation half: at production the same query runs in append mode
+    with `withWatermark` so closed windows emit incrementally and state
+    is evicted; complete mode here lets the whole table be graded."""
+    import uuid
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = (
+        stream.select(
+            "user_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            "value",
+        )
+        .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+    sink = f"w5_streamed_{uuid.uuid4().hex[:8]}"
+    (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink).select(
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias("bucket"),
+        "n_samples",
+        "avg_value",
+    )
