@@ -200,3 +200,144 @@ def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("head8_sum"),
     )
+
+
+@register(
+    "session_window_gaps",
+    sql="""
+WITH lagged AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM lagged
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + 1800 * 1000000 AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM sess GROUP BY user_id, sess_id
+""",
+)
+def session_window_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via the native `session_window` operator
+    (30-minute inactivity gap) — the general form of W2's zero-run
+    sessions and the batch twin of the streaming session_window variant
+    (streaming/pipeline.py:stationary_sessions_stream). The oracle
+    derives the same islands by hand (lag + gap flag + running sum):
+    Spark's session end = last event + gap, mirrored in the SQL.
+
+    Scale: session_window is a single partial-merging aggregate — Spark
+    sorts within user partitions and fuses adjacent windows, one
+    shuffle on user_id; the hand-rolled lag+running-sum form would need
+    two window passes over the same sort. Using the native operator
+    halves the passes AND is the form the streaming engine can run
+    incrementally with watermark-evicted state."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 100.0, 20
+
+
+@register(
+    "value_histogram",
+    sql=f"""
+SELECT event_type,
+       CAST(least(greatest(floor((value - {HIST_LO})
+              / (({HIST_HI} - {HIST_LO}) / {HIST_BUCKETS})), -1), {HIST_BUCKETS}) AS INT)
+         AS bucket,
+       count(*) AS n,
+       round(min(value), 6) AS lo,
+       round(max(value), 6) AS hi
+FROM events GROUP BY 1, 2
+""",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of `value` per event type (20 buckets over
+    [0,100); out-of-range values clamp to sentinel buckets -1 / 20).
+    The distribution-profiling primitive behind data-quality dashboards
+    and skew diagnosis. Bucket index is explicit floor arithmetic —
+    identical expression in both engines (DuckDB lacks width_bucket).
+
+    Scale: map-side bucketing + hash agg on (type, bucket) — tiny key
+    space, so partial aggregation collapses nearly everything before
+    the one narrow shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    width = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    bucket = F.least(
+        F.greatest(F.floor((F.col("value") - HIST_LO) / width), F.lit(-1)),
+        F.lit(HIST_BUCKETS),
+    ).cast("int")
+    return events.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
+@register(
+    "null_semantics",
+    sql="""
+WITH x AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS w
+  FROM events WHERE event_id < 2000
+)
+SELECT count(*) AS n_rows,
+       count(v) AS n_v,
+       CAST(sum(CASE WHEN v IS NOT DISTINCT FROM w THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_safe_eq,
+       CAST(sum(CASE WHEN coalesce(v, w, -1) = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both_null,
+       CAST(sum(CASE WHEN nullif(v, w) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nullif_null,
+       round(avg(v), 6) AS avg_v_ignoring_nulls
+FROM x
+""",
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics parity pack: null-safe equality (<=>), COALESCE
+    fallback chains, NULLIF, and aggregate null-skipping — the SQL
+    corners that silently diverge between engines (and that replace the
+    reference's 'NA'-string sentinel convention,
+    parse_canserver_filtered_log.py:199,285, with real NULLs). Pure
+    map-side expressions + one scalar aggregate."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    x = events.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")).alias("v"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(F.col("value")).alias("w"),
+    )
+    return x.agg(
+        F.count("*").alias("n_rows"),
+        F.count("v").alias("n_v"),
+        F.sum(F.col("v").eqNullSafe(F.col("w")).cast("int")).cast("long").alias("n_null_safe_eq"),
+        F.sum((F.coalesce("v", "w", F.lit(-1)) == -1).cast("int")).cast("long").alias("n_both_null"),
+        F.sum(F.isnull(F.nullif("v", "w")).cast("int")).cast("long").alias("n_nullif_null"),
+        F.round(F.avg("v"), 6).alias("avg_v_ignoring_nulls"),
+    )
