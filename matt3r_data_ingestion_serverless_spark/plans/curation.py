@@ -252,23 +252,20 @@ def ns_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
+        nxt = F.least(F.col("cluster_id"), F.coalesce("neigh_min", F.col("cluster_id")))
+        # carry the convergence flag through the checkpoint: the changed
+        # count reads the materialized rows — no second join per round
         new_labels = (
             labels.join(neigh, "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("neigh_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
+                (nxt < F.col("cluster_id")).alias("chg"),
+                nxt.alias("cluster_id"),
             )
             .localCheckpoint(eager=True)  # cut lineage: plan size stays O(1) per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     w = Window.partitionBy("cluster_id")
