@@ -392,3 +392,85 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").cast("long").alias("est_distinct_terms"),
     )
     return source_rows.unionByName(global_row)
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def _quantize_sql() -> str:
+    from matt3r_data_ingestion_serverless_spark.functions import vectors
+
+    v = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    return f"""
+WITH e AS (
+  SELECT vec_id, {v} AS v,
+         list_max(list_transform({v}, x -> abs(x))) / 127.0 AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(least(greatest(
+             floor(x / scale + 0.5), -127), 127) AS BIGINT)) AS qv
+  FROM e WHERE scale > 0
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_checksum,
+       round(sqrt(list_sum(list_transform(range(1, len(v) + 1),
+             i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale))))
+         / {vectors.l2_norm_sql('v')}, 6) AS rel_err
+FROM q
+"""
+
+
+@register("ns_embedding_quantize", sql=_quantize_sql())
+def ns_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column —
+    the 4× storage/bandwidth reduction step before ANN indexing at
+    scale — with per-vector reconstruction error as the quality audit.
+    Quantizer: scale = max|x|/127, q = clamp(floor(x/scale + .5)) —
+    explicit floor arithmetic, not round(), so Spark and DuckDB agree
+    on ties by construction.
+
+    Scale: pure per-row higher-order expressions (transform/aggregate
+    inside codegen) — zero shuffle, zero Python; the quantized array
+    would be written back as the ANN input column."""
+    from matt3r_data_ingestion_serverless_spark.functions import vectors
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    v = vectors.as_double(F.col("embedding"))
+    e = emb.select(
+        "vec_id",
+        v.alias("v"),
+        (F.array_max(F.transform(v, F.abs)) / 127.0).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    qv = F.transform(
+        F.col("v"),
+        lambda x: F.least(
+            F.greatest(F.floor(x / F.col("scale") + 0.5), F.lit(-127.0)), F.lit(127.0)
+        ).cast("long"),
+    )
+    q = e.withColumn("qv", qv)
+    err2 = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("qv"),
+            lambda x, qq: (x - qq * F.col("scale")) * (x - qq * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # the rounded `scale` alias must come LAST: lateral column alias
+    # resolution (Spark ≥3.4) binds a later `F.col("scale")` in the same
+    # select list to an EARLIER alias of that name — err2 would silently
+    # use the rounded scale and corrupt the residuals
+    return q.select(
+        "vec_id",
+        F.aggregate(F.col("qv"), F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_checksum"
+        ),
+        F.round(F.sqrt(err2) / vectors.l2_norm(F.col("v")), 6).alias("rel_err"),
+        F.round(F.col("scale"), 6).alias("scale"),
+    )
