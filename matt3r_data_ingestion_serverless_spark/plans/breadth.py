@@ -341,3 +341,54 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.isnull(F.nullif("v", "w")).cast("int")).cast("long").alias("n_nullif_null"),
         F.round(F.avg("v"), 6).alias("avg_v_ignoring_nulls"),
     )
+
+
+@register(
+    "sliding_window_rates",
+    sql="""
+WITH slid AS (
+  SELECT user_id, value,
+         time_bucket(INTERVAL 15 MINUTE, ts) - TO_MINUTES(15 * k) AS w_start
+  FROM events, unnest([0, 1, 2, 3]) AS t(k)
+)
+SELECT epoch_us(w_start) AS w_start_us,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(avg(value), 6) AS avg_value
+FROM slid
+WHERE w_start >= (SELECT time_bucket(INTERVAL 15 MINUTE, min(ts)) FROM events)
+GROUP BY w_start
+""",
+)
+def sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows — 1-hour span every 15 minutes, the
+    rate/monitoring shape W5's tumbling buckets can't express: each
+    event contributes to 4 overlapping windows. `F.window(ts, '1 hour',
+    '15 minutes')` expands the windows inside the scan stage (a Generate,
+    like stack()) BEFORE the hash agg's map-side partials, so the
+    4× row expansion never ships raw; the oracle derives the same
+    window starts by hand (time_bucket − k·15min). Windows clipped to
+    those fully inside the data range on both sides — Spark emits
+    partial leading windows, the clip makes the contract explicit."""
+    events = load_table(spark, sf_dir, "events")
+    lo = events.agg(F.min("ts").alias("mn"))
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .join(
+            F.broadcast(lo),
+            F.col("w.start") >= F.timestamp_seconds(
+                (F.unix_timestamp(F.col("mn")) / 900).cast("long") * 900
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "n_events",
+            "n_users",
+            "avg_value",
+        )
+    )
