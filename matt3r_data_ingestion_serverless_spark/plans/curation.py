@@ -474,3 +474,87 @@ def ns_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(err2) / vectors.l2_norm(F.col("v")), 6).alias("rel_err"),
         F.round(F.col("scale"), 6).alias("scale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus heavy hitters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ns_heavy_hitter_terms",
+    sql=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({text.tokens_sql('text')}) AS term FROM documents
+),
+tc AS (SELECT term, count(*) AS n, count(DISTINCT doc_id) AS df
+       FROM tok GROUP BY term),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n DESC, term) AS rnk FROM tc
+)
+SELECT rnk, term, n, df FROM ranked WHERE rnk <= 20
+""",
+)
+def ns_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 heavy-hitter terms (count + document frequency) —
+    the stopword/boilerplate discovery pass a curation pipeline runs
+    before building filters.
+
+    Scale: token explode → (term) hash agg with map-side partials — the
+    distinct-doc count per term rides the same shuffle (partial distinct
+    via the agg's internal dedup). The global top-k is a single-partition
+    window over the VOCABULARY-sized agg output, not the corpus: Spark
+    plans WindowGroupLimit so each partition forwards only its local
+    top-20 before the final ordering."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+    tc = tok.groupBy("term").agg(
+        F.count("*").alias("n"), F.count_distinct("doc_id").alias("df")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return (
+        tc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("rnk", "term", "n", "df")
+    )
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregate parity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_pack",
+    sql="""
+SELECT event_type,
+       round(stddev_samp(value), 6) AS sd_value,
+       round(var_pop(value), 6) AS var_value,
+       round(corr(value, epoch_us(ts) / 1e12), 6) AS corr_value_time,
+       round(covar_samp(value, epoch_us(ts) / 1e12), 6) AS covar_value_time,
+       round(avg(value * value) - avg(value) * avg(value), 6) AS var_by_moments
+FROM events GROUP BY event_type
+""",
+)
+def stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate parity pack: sample stddev, population
+    variance, Pearson correlation and sample covariance of value vs
+    time — per event type. Both engines use numerically-stable
+    single-pass updates (Welford-style); the moments identity column
+    documents the naive formula they both avoid. Time is scaled to ~1
+    (epoch-µs / 1e12) so the 6-dp round sits far above FP-association
+    noise.
+
+    Scale: all five are partial-mergeable aggregates — one hash-agg
+    exchange on a 5-value key, map-side combine does the heavy pass."""
+    events = load_table(spark, sf_dir, "events")
+    t = F.unix_micros("ts") / 1e12
+    return events.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_pop("value"), 6).alias("var_value"),
+        F.round(F.corr(F.col("value"), t), 6).alias("corr_value_time"),
+        F.round(F.covar_samp(F.col("value"), t), 6).alias("covar_value_time"),
+        F.round(
+            F.avg(F.col("value") * F.col("value")) - F.avg("value") * F.avg("value"), 6
+        ).alias("var_by_moments"),
+    )
