@@ -18,5 +18,6 @@ from matt3r_data_ingestion_serverless_spark.plans import temporal  # noqa: F401,
 from matt3r_data_ingestion_serverless_spark.plans import subqueries  # noqa: F401,E402
 from matt3r_data_ingestion_serverless_spark.plans import breadth  # noqa: F401,E402
 from matt3r_data_ingestion_serverless_spark.plans import curation  # noqa: F401,E402
+from matt3r_data_ingestion_serverless_spark.plans import decision_support  # noqa: F401,E402
 
 __all__ = ["QUERIES", "all_queries", "register"]
