@@ -39,23 +39,27 @@ def main() -> None:
     # include all registered queries beyond the headline list
     names += [n for n in sorted(registry) if n not in names]
 
-    # warm-up: run every query once at the smoke SF. Whole-stage codegen
-    # caches generated classes by source, so this compiles each plan's
-    # code paths without touching the target-SF data (different parquet
-    # paths → different plans → the timed run's scans and caches stay
-    # cold). Measures steady-state execution, not JIT compilation.
+    # Warm-up is interleaved per query: run the SAME plan at the smoke
+    # SF immediately before timing it at the target SF. Whole-stage
+    # codegen caches generated classes by source, so this compiles the
+    # plan's code paths (and spins up the Arrow/Python workers the UDF
+    # queries need) without touching target-SF data — the timed run's
+    # scans stay cold. A single up-front warm-up phase does NOT work:
+    # the codegen class cache holds ~100 entries, and 90+ queries ×
+    # several stages each evict the early entries before the timed
+    # phase reaches them, silently re-billing janino compilation
+    # (measured: 3-20× inflation on the tail of a two-phase bench).
     warm_dir = "/root/testdata/sf0.001"
-    for name in names:
-        try:
-            registry[name][0](spark, warm_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass  # warm-up must never sink the bench
-    spark.catalog.clearCache()
     registry[names[0]][0](spark, sf_dir).count()  # file-listing warm
 
     timings: dict[str, float] = {}
     for name in names:
         fn, _ = registry[name]
+        try:
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warm-up must never sink the bench
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
