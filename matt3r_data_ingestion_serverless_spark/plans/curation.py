@@ -67,7 +67,11 @@ def ns_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf agg, so AQE reuses the exchange."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # df_t derives FROM tf: without pinning, the explode→agg chain runs
+    # twice (once to build the broadcast, once as the probe side). At
+    # 100 TB the pinned tf relation is the materialized term-frequency
+    # silver table a production run would persist anyway.
+    tf = _pin(tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (

@@ -22,6 +22,37 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _fast_scratch() -> str | None:
+    """tmpfs scratch for shuffle spill + streaming WAL commits, when
+    available. Micro-batch offset/commit logs fsync per batch; on a
+    disk-backed /tmp those fsyncs stall for seconds whenever the page
+    cache is dirty from shuffle writes (measured: 2s → 12s swings on
+    the streamed queries mid-sweep). On a real cluster this is the
+    node-local NVMe; in this harness it's /dev/shm."""
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        root = os.path.join(shm, "spark-graft-scratch")
+        _reap_dead_ckpts(root)
+        return root
+    return None
+
+
+def _reap_dead_ckpts(root: str) -> None:
+    """Remove ckpt-<pid> dirs owned by processes that no longer exist —
+    tmpfs is RAM, so leaked WALs from crashed runs are a memory leak."""
+    import shutil
+
+    try:
+        for name in os.listdir(root):
+            if not name.startswith("ckpt-"):
+                continue
+            pid = name.removeprefix("ckpt-")
+            if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    except OSError:
+        pass
+
+
 def get_spark(app_name: str = "matt3r-dpl-spark", extra_conf: dict | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
@@ -42,12 +73,26 @@ def get_spark(app_name: str = "matt3r-dpl-spark", extra_conf: dict | None = None
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
         )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # default 100 generated-class entries thrash under a 90+-query
+        # workload (each query compiles several whole-stage spans);
+        # evictions re-bill janino compilation mid-workload
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has
         # no nanos timestamp — read as long and convert at the source
         # (sources/tables.py) with integer division, never double math
         # (epoch-nanos exceeds double's 53-bit mantissa).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    scratch = _fast_scratch()
+    if scratch:
+        # ckpt dir must be unique per process: the default checkpoint
+        # location is reused by every query started without an explicit
+        # one, and a stale WAL from a previous run is unrecoverable for
+        # dedup/flatMapGroupsWithState queries.
+        builder = builder.config("spark.local.dir", os.path.join(scratch, "local")).config(
+            "spark.sql.streaming.checkpointLocation",
+            os.path.join(scratch, f"ckpt-{os.getpid()}"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
