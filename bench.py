@@ -66,6 +66,13 @@ def main() -> None:
         # queries pin intermediate stages with .cache(); drop them so
         # accumulated blocks don't tax later queries' GC and eviction
         spark.catalog.clearCache()
+        # Shuffle files and broadcasts are reclaimed only when the
+        # driver GC collects their references and the ContextCleaner
+        # fires. With a large heap GCs are rare, so a 90-query sweep
+        # accumulates tens of GB of dead shuffle data in the (tmpfs)
+        # local dir — RAM stolen from the tail queries. Nudge the GC
+        # between queries: outside the timed window, costs ~100 ms.
+        spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
