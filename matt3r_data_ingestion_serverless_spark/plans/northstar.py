@@ -490,8 +490,7 @@ def ns_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_ivf_sql() -> str:
-    dot_qn = vectors.dot_sql("q.v", "n.v")
+def _ann_ivf_sql(nprobe: int = 1) -> str:
     dot_qc = vectors.dot_sql("q.v", "cn.c")
     return f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -504,7 +503,7 @@ qc AS (SELECT query_id, v, nrm, probe_label FROM (
          SELECT q.query_id, q.v, q.nrm, cn.label AS probe_label,
                 row_number() OVER (PARTITION BY q.query_id
                   ORDER BY round({dot_qc} / (q.nrm * cn.cnrm), 6) DESC, cn.label) AS rn
-         FROM q CROSS JOIN cn) WHERE rn = 1),
+         FROM q CROSS JOIN cn) WHERE rn <= {nprobe}),
 scored AS (SELECT query_id, n.vec_id AS match_id,
                   round({vectors.dot_sql('qc.v', 'n.v')} / (qc.nrm * n.nrm), 6) AS cos_sim
            FROM qc JOIN n ON n.label = qc.probe_label AND n.vec_id != query_id),
@@ -515,18 +514,8 @@ SELECT query_id, match_id, rank, cos_sim FROM ranked WHERE rank <= 5
 """
 
 
-@register("ns_ann_ivf_topk", sql=_ann_ivf_sql())
-def ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus into cells (the label
-    clusters; centroids = per-dimension means computed via posexplode +
-    hash agg), route each query to its nearest centroid (nprobe=1), and
-    rank only within that cell.
-
-    Scale: the centroid table is k rows — always broadcast; the corpus
-    is scanned once to build cells and the probe join touches 1/k of it
-    per query. This trades recall (documented: true neighbors outside
-    the probed cell are missed) for a k× scan reduction — the standard
-    IVF contract. Brute-force ns_ann_cosine_topk is the recall oracle."""
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """Shared IVF plan; see ns_ann_ivf_topk for the design notes."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     e = emb.select("vec_id", "label", vectors.as_double(F.col("embedding")).alias("v"))
     n = _pin(e.withColumn("nrm", vectors.l2_norm(F.col("v"))))
@@ -552,7 +541,7 @@ def ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(cn))
         .withColumn("cent_sim", cos_qc)
         .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select("query_id", "qv", "qnrm", F.col("label").alias("probe_label"))
     )
     cos_qn = F.round(
@@ -567,6 +556,159 @@ def ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("query_id", "match_id", "rank", "cos_sim")
+    )
+
+
+@register("ns_ann_ivf_topk", sql=_ann_ivf_sql())
+def ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into cells (the label
+    clusters; centroids = per-dimension means computed via posexplode +
+    hash agg), route each query to its nearest centroid (nprobe=1), and
+    rank only within that cell.
+
+    Scale: the centroid table is k rows — always broadcast; the corpus
+    is scanned once to build cells and the probe join touches 1/k of it
+    per query. This trades recall (documented: true neighbors outside
+    the probed cell are missed) for a k× scan reduction — the standard
+    IVF contract. Brute-force ns_ann_cosine_topk is the recall oracle."""
+    return _ivf_topk(spark, sf_dir, nprobe=1)
+
+
+@register("ns_ann_ivf_nprobe_topk", sql=_ann_ivf_sql(nprobe=2))
+def ns_ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2 — the recall/scan-cost dial: each query ranks
+    the two nearest cells, doubling the scanned fraction (2/k) to
+    recover neighbors that straddle a cell boundary. Cells are disjoint
+    (a vector has one label), so the union of probed cells is
+    duplicate-free and needs no dedup before ranking."""
+    return _ivf_topk(spark, sf_dir, nprobe=2)
+
+
+# --- product quantization (PQ) ---------------------------------------------
+
+PQ_M, PQ_DSUB = 8, 8  # 8 subspaces × 8 dims = the 64-dim embedding
+
+
+def _ann_pq_sql() -> str:
+    def sub_l2(vec: str, cw: str, s: str) -> str:
+        d = f"({vec}[{s}*{PQ_DSUB} + j] - {cw}[j])"
+        return f"list_sum(list_transform(range(1, {PQ_DSUB + 1}), j -> {d} * {d}))"
+
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT label, CAST((i - 1) // {PQ_DSUB} AS INT) AS s, i, avg(v[i]) AS m
+       FROM e, range(1, 65) t(i) GROUP BY label, s, i),
+cw AS (SELECT s, label, list(m ORDER BY i) AS cw FROM cb GROUP BY s, label),
+dists AS (SELECT e.vec_id, cw.s, cw.label,
+                 round({sub_l2('e.v', 'cw.cw', 'cw.s')}, 9) AS d
+          FROM e CROSS JOIN cw),
+codes AS (SELECT vec_id, s, label AS code_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                        ORDER BY d, label) AS rn FROM dists) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id % 50 = 0),
+lut AS (SELECT q.query_id, cw.s, cw.label,
+               {sub_l2('q.v', 'cw.cw', 'cw.s')} AS pd
+        FROM q CROSS JOIN cw),
+scored AS (SELECT l.query_id, c.vec_id AS match_id, round(sum(l.pd), 6) AS adist
+           FROM codes c JOIN lut l ON l.s = c.s AND l.label = c.code_label
+           WHERE c.vec_id != l.query_id GROUP BY 1, 2),
+ranked AS (SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY adist, match_id) AS rank
+           FROM scored)
+SELECT query_id, match_id, rank, adist FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ns_ann_pq_adc_topk", sql=_ann_pq_sql())
+def ns_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation:
+    split each 64-dim vector into 8 sub-vectors, encode every sub-vector
+    as the id of its nearest codeword (codebook = per-label sub-space
+    means — deterministic, so both engines derive the identical
+    codebook; a k-means codebook is a drop-in), then rank candidates by
+    the ADC estimate Σ_s ||q_sub(s) − codeword(s, code[s])||² — the
+    corpus's float vectors are never touched at query time.
+
+    Scale: encoding is a map-only pass with a broadcast codebook
+    (M×K×d_sub doubles — kilobytes); the encoded corpus is M bytes/vec
+    instead of 4·64, a 32× memory/scan reduction, which is what makes
+    billion-vector rescoring feasible. Scoring joins the tiny per-query
+    LUT against codes — no vector math per candidate. Codeword argmin is
+    computed on distances rounded to 9 dp with label-order tiebreak so
+    Spark and the oracle pick identical codes."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select("vec_id", "label", vectors.as_double(F.col("embedding")).alias("v"))
+
+    # codebook: per (label, subspace) mean sub-vector. K×M×d_sub doubles
+    # → collect and inline as literals (the broadcast-codebook pattern).
+    pos = e.select("label", F.posexplode("v").alias("i", "x"))
+    cb_rows = (
+        pos.withColumn("s", (F.col("i") / PQ_DSUB).cast("int"))
+        .groupBy("s", "label", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("s", "label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda t: t["m"]
+            ).alias("cw")
+        )
+        .collect()
+    )
+    cb = {(r["s"], r["label"]): list(r["cw"]) for r in cb_rows}
+    labels = sorted({label for (_, label) in cb})
+
+    # The encode/ADC expressions inline the whole codebook as literals
+    # (the broadcast-codebook scale pattern: constants ship with the
+    # plan, the encode pass stays map-only). Build them as SQL text and
+    # parse ONCE with F.expr — composing ~100 nested higher-order
+    # functions through the Python Column API costs thousands of py4j
+    # round-trips (measured: ~10 s of pure plan construction).
+    def cw_sql(s: int, label: int) -> str:
+        return "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in cb[(s, label)]) + ")"
+
+    def l2sq_sql(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+
+    def sub_sql(vec: str, s: int) -> str:
+        return f"slice({vec}, {s * PQ_DSUB + 1}, {PQ_DSUB})"
+
+    # encode: argmin over codewords per subspace — pure column exprs,
+    # zero shuffle (array_sort on (d, k) structs = argmin + tiebreak).
+    # code[s] holds the codeword POSITION k in sorted-label order, so
+    # the k tiebreak is the oracle's label tiebreak.
+    code_cols = []
+    for s in range(PQ_M):
+        cands = ", ".join(
+            f"struct(round({l2sq_sql(sub_sql('v', s), cw_sql(s, label))}, 9) AS d, "
+            f"{k} AS k)"
+            for k, label in enumerate(labels)
+        )
+        code_cols.append(f"array_sort(array({cands}))[0].k")
+    codes = e.select("vec_id", F.expr("array(" + ", ".join(code_cols) + ")").alias("code"))
+
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # ADC: Σ_s ||q_sub(s) − codeword(s, code[s])||², codeword picked from
+    # the literal codebook by the stored code — no corpus vectors here
+    terms = []
+    for s in range(PQ_M):
+        cw_arr = "array(" + ", ".join(cw_sql(s, label) for label in labels) + ")"
+        picked = f"element_at({cw_arr}, code[{s}] + 1)"
+        terms.append(l2sq_sql(sub_sql("qv", s), picked))
+    adist = F.expr("round(" + " + ".join(terms) + ", 6)")
+    scored = (
+        codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("match_id"), adist.alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "match_id", "rank", "adist")
     )
 
 

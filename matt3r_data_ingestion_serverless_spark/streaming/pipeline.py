@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from matt3r_data_ingestion_serverless_spark.operators.merge import foreach_batch_upsert
+from matt3r_data_ingestion_serverless_spark.operators.merge import (
+    _table_exists,
+    _write_merged,
+    foreach_batch_upsert,
+)
 from matt3r_data_ingestion_serverless_spark.sources.canserver import read_canserver_stream
 
 REORDER_WATERMARK = "1.2 seconds"  # MAX_SR, parse_canserver_filtered_log.py:117
@@ -318,3 +322,86 @@ def stationary_sessions_stream(signals: DataFrame, *, gap: str = "13 seconds") -
             "n_samples",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming-materialized sketch tables
+# ---------------------------------------------------------------------------
+
+SKETCH_LG_K = 14  # matches plans/curation.py:sketch_hll_rollup
+
+
+def _sketch_merge_sink(sketch_dir: str, lg_k: int):
+    """foreachBatch body: sketch the batch's term vocabulary per source,
+    then MERGE into the at-rest sketch table via hll_union — the batch
+    is scanned once and never again; the table stays K rows × ~2^lg_k
+    bytes regardless of corpus size. Idempotent only at the table level
+    (re-delivering a batch double-counts nothing: HLL registers are
+    max-combine, so re-unioning the same items is a no-op)."""
+    from matt3r_data_ingestion_serverless_spark.functions import text as textfns
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = (
+            batch_df.select(
+                "source", F.explode(textfns.tokens(F.col("text"))).alias("term")
+            )
+            .groupBy("source")
+            .agg(F.hll_sketch_agg("term", F.lit(lg_k)).alias("sk"))
+        )
+        if _table_exists(spark, sketch_dir):
+            old = spark.read.parquet(sketch_dir)
+            new = (
+                old.unionByName(new)
+                .groupBy("source")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        _write_merged(new, sketch_dir, [])
+
+    return _sink
+
+
+def run_sketch_rollup_pipeline(
+    spark: SparkSession,
+    docs_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    *,
+    lg_k: int = SKETCH_LG_K,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Maintain a pre-aggregated distinct-term sketch table over a
+    streaming documents source (SCALE.md roadmap: sketches materialized
+    by the pipeline, not recomputed per query). Each drained micro-batch
+    folds into the sketch table; any later distinct-count rollup is a
+    merge of kilobytes via :func:`sketch_estimates` — the corpus is
+    never rescanned. At 100 TB this turns vocabulary dashboards from a
+    full-scan query into a constant-time lookup."""
+    reader = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_dir)
+    (
+        docs.writeStream.foreachBatch(_sketch_merge_sink(sketch_dir, lg_k))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def sketch_estimates(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Per-source + global distinct-term estimates from the materialized
+    sketch table — the query side of run_sketch_rollup_pipeline, same
+    output shape as plans/curation.py:sketch_hll_rollup."""
+    sk = spark.read.parquet(sketch_dir)
+    per = sk.select(
+        "source", F.hll_sketch_estimate("sk").cast("long").alias("est_distinct_terms")
+    )
+    glob = sk.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("source"),
+        F.hll_sketch_estimate("sk").cast("long").alias("est_distinct_terms"),
+    )
+    return per.unionByName(glob)

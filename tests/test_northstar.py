@@ -124,3 +124,25 @@ def test_rolling_fingerprint_matches_python(spark):
     )
     assert _one(spark, fp) == acc
     assert not math.isnan(acc)
+
+
+def test_ann_recall_ladder(spark):
+    """The ANN family's recall ordering on the fixed sf0.01 corpus:
+    probing a second IVF cell strictly widens the candidate set, and
+    every approximate variant finds a nonzero share of the brute-force
+    top-5. Deterministic: seeded testdata + tie-broken rankings."""
+    from matt3r_data_ingestion_serverless_spark.plans import all_queries
+    from tests.conftest import SF_CORRECTNESS
+
+    qs = {n: fn for n, (fn, _) in all_queries().items()}
+    sf = SF_CORRECTNESS
+
+    def pairs(name):
+        return {(r.query_id, r.match_id) for r in qs[name](spark, sf).collect()}
+
+    bf = pairs("ns_ann_cosine_topk")
+    r1 = len(bf & pairs("ns_ann_ivf_topk")) / len(bf)
+    r2 = len(bf & pairs("ns_ann_ivf_nprobe_topk")) / len(bf)
+    rpq = len(bf & pairs("ns_ann_pq_adc_topk")) / len(bf)
+    assert r2 >= r1 > 0
+    assert rpq > 0

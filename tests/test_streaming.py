@@ -201,3 +201,49 @@ def test_stationary_sessions_stream_schema(spark, dirs):
     assert len(sessions) == 1
     s = sessions[0]
     assert s["n_samples"] == 5 and s["end_us"] - s["start_us"] >= 4_000_000
+
+
+def test_streamed_sketch_rollup_matches_batch(spark, tmp_path):
+    """Sketch table materialized incrementally by the stream == sketch
+    built in one batch pass: HLL registers are max-combine, so merging
+    per-batch sketches over a partition of the corpus is exact w.r.t.
+    the one-shot sketch — including across a second pipeline run that
+    folds new files into the existing table."""
+    from matt3r_data_ingestion_serverless_spark.functions import text as textfns
+    from matt3r_data_ingestion_serverless_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    stream_dir, sketch_dir = str(tmp_path / "docs"), str(tmp_path / "sketch")
+
+    # first two chunks drain as separate micro-batches (maxFilesPerTrigger=1)
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.mode("append").parquet(stream_dir)
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode("append").parquet(stream_dir)
+    pl.run_sketch_rollup_pipeline(
+        spark, stream_dir, sketch_dir, str(tmp_path / "ck1"), max_files_per_trigger=1
+    )
+    # third chunk arrives later: a NEW pipeline run folds it into the table
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode("append").parquet(stream_dir)
+    pl.run_sketch_rollup_pipeline(
+        spark, stream_dir, sketch_dir, str(tmp_path / "ck1"), max_files_per_trigger=1
+    )
+
+    streamed = {
+        r["source"]: r["est_distinct_terms"]
+        for r in pl.sketch_estimates(spark, sketch_dir).collect()
+    }
+    tok = docs.select("source", F.explode(textfns.tokens(F.col("text"))).alias("term"))
+    batch = tok.groupBy("source").agg(
+        F.hll_sketch_agg("term", F.lit(pl.SKETCH_LG_K)).alias("sk")
+    )
+    expected = {
+        r["source"]: r["est"]
+        for r in batch.select(
+            "source", F.hll_sketch_estimate("sk").cast("long").alias("est")
+        ).collect()
+    }
+    glob = tok.agg(F.hll_sketch_agg("term", F.lit(pl.SKETCH_LG_K)).alias("sk")).select(
+        F.hll_sketch_estimate("sk").cast("long").alias("est")
+    )
+    expected["ALL"] = glob.collect()[0]["est"]
+    assert streamed == expected
