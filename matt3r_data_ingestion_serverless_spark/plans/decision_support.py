@@ -438,3 +438,52 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sn, l1.l_suppkey == sn.s_suppkey)
     )
     return qualified.groupBy("s_name").agg(F.count("*").alias("numwait"))
+
+
+@register(
+    "q12_shipmode_priority",
+    sql="""
+SELECT l_linestatus AS ship_mode,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY ship_mode
+""",
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape — conditional priority counts per shipping class
+    (l_linestatus stands in for l_shipmode; the returnflag + shipdate
+    range stands in for the commit/receipt-date lateness predicate).
+    Completes the 22-query TPC-H pattern family.
+
+    Spark-first: the returnflag/shipdate predicates push into the
+    lineitem scan (PushedFilters); orders projects only
+    (o_orderkey, o_orderpriority) before the join, and the priority
+    split is a conditional map-side partial aggregate — one shuffle on
+    l_orderkey for the fact-fact join, one on the single-value group
+    key. At 100 TB the shipdate range prunes partitions before any
+    join work."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )

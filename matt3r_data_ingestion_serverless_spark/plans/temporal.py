@@ -11,7 +11,7 @@ implements textbook as-of semantics exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from matt3r_data_ingestion_serverless_spark.operators.temporal import (
@@ -142,4 +142,102 @@ def j2_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("start_ts").alias("start_us"),
         F.unix_micros("end_ts").alias("end_us"),
         "n_merged",
+    )
+
+
+@register(
+    "ts_gap_fill_locf",
+    sql="""
+WITH v AS (SELECT user_id, ts, max(value) AS value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+b AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM v GROUP BY user_id),
+g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS gts
+      FROM b)
+SELECT g.user_id, epoch_us(g.gts) AS grid_ts_us,
+       epoch_us(v.ts) AS obs_ts_us, round(v.value, 6) AS locf_value
+FROM g ASOF LEFT JOIN v ON g.user_id = v.user_id AND v.ts <= g.gts
+""",
+)
+def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill / resample: regularize each user's irregular view-value
+    series onto an hourly grid with last-observation-carried-forward —
+    the standard telemetry prep step before joining sensors sampled at
+    different rates (the reference's channel series are exactly such
+    irregular streams, parse_canserver_filtered_log.py:313-325).
+
+    Spark-first: the grid is generated distributed (sequence + explode
+    from each user's min/max bounds — no driver-side date loop), and
+    the LOCF fill reuses operators/temporal.py:asof_join, so the whole
+    plan is one shuffle on user_id shared by the bounds aggregate, the
+    grid explode, and the fill window. Observations are pre-deduped to
+    unique (user_id, ts) so both engines resolve ties identically. At
+    100 TB grid density is the knob: hourly grid ≈ 720 rows/user/month
+    regardless of raw event volume."""
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    grid = (
+        v.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("gts"),
+        )
+    )
+    filled = asof_join(
+        grid, v, key="user_id", left_ts="gts", right_ts="ts", right_cols=["value"]
+    )
+    return filled.select(
+        "user_id",
+        F.unix_micros("gts").alias("grid_ts_us"),
+        F.unix_micros("asof_ts").alias("obs_ts_us"),
+        F.round("value", 6).alias("locf_value"),
+    )
+
+
+@register(
+    "trailing_range_window",
+    sql="""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS n_15m,
+       round(sum(value) OVER w, 6) AS sum_15m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 15 MINUTES PRECEDING AND CURRENT ROW)
+""",
+)
+def trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per event, the count and sum of the
+    same user's activity in the trailing 15 minutes — a value-based
+    frame (rangeBetween), not a row-count frame, so sparse and dense
+    periods get the same time horizon. Complements the hopping-window
+    aggregate (sliding_window_rates): this is the per-event continuous
+    variant a feature pipeline feeds to a model.
+
+    Spark-first: one shuffle on user_id; the frame is evaluated in a
+    single sorted pass per partition with a sliding accumulator (Spark
+    adds/removes rows at the frame edges — no per-row rescan of the 15
+    minute span). Ordering key is unix_micros so frame bounds are exact
+    integer µs; RANGE peers (equal timestamps) enter the frame together
+    in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-15 * 60 * 1_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.count("*").over(w).alias("n_15m"),
+        F.round(F.sum("value").over(w), 6).alias("sum_15m"),
     )
