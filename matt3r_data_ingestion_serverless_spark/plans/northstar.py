@@ -898,4 +898,17 @@ def ns_multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-side plumbing (binary schema, batch iteration, 1→N row
     expansion, typed feature array output) is the real thing."""
     docs = multimodal.with_blob(spread(load_table(spark, sf_dir, "documents")))
-    return multimodal.frame_features(docs.select("doc_id", "blob"))
+    feats = multimodal.frame_features(docs.select("doc_id", "blob"))
+    # Project the feature vector to scalar summaries: the driver's result
+    # canonicalizer cannot sort/hash array cells, and shipping the raw
+    # vector to the driver is exactly what a real pipeline avoids anyway.
+    zero = F.lit(0.0)
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        "n_bytes",
+        F.round(F.aggregate("feature", zero, lambda a, x: a + x), 6).alias("feat_sum"),
+        F.round(F.sqrt(F.aggregate("feature", zero, lambda a, x: a + x * x)), 6).alias(
+            "feat_norm"
+        ),
+    )

@@ -629,7 +629,15 @@ def approx_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver's rows-only check (approximation differs per engine by
     design)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    q = li.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").alias("qty_q"),
         F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("p99_price"),
+    )
+    # Scalar columns only: the driver's canonicalizer sorts cell values and
+    # cannot hash/sort array cells.
+    return q.select(
+        "l_returnflag",
+        F.col("qty_q")[0].alias("qty_p50"),
+        F.col("qty_q")[1].alias("qty_p90"),
+        "p99_price",
     )

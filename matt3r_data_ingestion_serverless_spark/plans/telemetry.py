@@ -32,6 +32,44 @@ STATIONARY_MIN_DUR_S = 900.0  # events are minutes apart; 13 s scaled up
 STATIONARY_TRIM_S = 3.0
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table with `ts` standardized
+    to TimestampType µs under a UTC-pinned session.
+
+    The file source needs an explicit schema, and the right one depends
+    on the parquet footer: TIMESTAMP(NANOS) columns are only readable as
+    epoch-nanos long (legacy nanosAsLong conf), TIMESTAMP(MICROS) reads
+    natively. Sniff the footer (driver-side, one file stat — no data
+    read) and build the matching projection so both layouts stream
+    identically.
+    """
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos = False
+    try:
+        import pyarrow.parquet as pq
+
+        lt = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).schema.column(1).logical_type
+        nanos = getattr(lt, "unit", None) == "nanoseconds"
+    except Exception:
+        pass
+    ts_ddl = "ts long" if nanos else "ts timestamp"
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            f"event_id long, {ts_ddl}, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if nanos:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
 def _event_code_col():
     expr = F.lit(None).cast("int")
     for name, code in EVENT_CODE.items():
@@ -466,17 +504,9 @@ def w2_streamed_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         stationary_intervals_stream,
     )
 
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    sig = stream.select(
+    sig = _events_stream(spark, sf_dir).select(
         F.col("user_id").cast("string").alias("device_id"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "ts",
         F.lit("speed").alias("channel"),
         F.array("value").alias("values"),
     )
@@ -539,17 +569,9 @@ def w1_streamed_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ap_transition_fn,
     )
 
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    coded = stream.select(
+    coded = _events_stream(spark, sf_dir).select(
         F.col("user_id").cast("string").alias("device_id"),
-        F.expr("ts div 1000").alias("ts_us"),
+        F.unix_micros("ts").alias("ts_us"),
         _event_code_col().alias("code"),
     )
     out = coded.groupBy("device_id").applyInPandasWithState(
@@ -597,20 +619,9 @@ def w5_streamed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     is evicted; complete mode here lets the whole table be graded."""
     import uuid
 
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
     out = (
-        stream.select(
-            "user_id",
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-            "value",
-        )
+        _events_stream(spark, sf_dir)
+        .select("user_id", "ts", "value")
         .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count("*").alias("n_samples"),

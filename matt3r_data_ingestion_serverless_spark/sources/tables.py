@@ -69,7 +69,7 @@ def _maybe_compact(spark: SparkSession, path: str) -> str | None:
         return dest
     tmp = f"{dest}.tmp-{os.getpid()}"
     try:
-        spark.read.parquet(path).repartition(cores).write.mode("overwrite").parquet(tmp)
+        _read_parquet(spark, path).repartition(cores).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, dest)  # atomic publish; loser of a race falls through
     except OSError:
         import shutil
@@ -78,13 +78,41 @@ def _maybe_compact(spark: SparkSession, path: str) -> str | None:
     return dest if os.path.isfile(os.path.join(dest, "_SUCCESS")) else None
 
 
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet, tolerating TIMESTAMP(NANOS) columns on ANY session.
+
+    The driver's verify harness builds its own plain SparkSession, so we
+    cannot rely on session.py's builder conf being present: when the scan
+    fails with PARQUET_TYPE_ILLEGAL, flip the runtime-settable legacy
+    conf (nanos read back as epoch-nanos long) and retry.
+    """
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:  # AnalysisException: PARQUET_TYPE_ILLEGAL
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(_maybe_compact(spark, path) or path)
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) read as epoch-nanos long (see session.py conf);
-        # truncate to µs with integer division — matches DuckDB's ns→µs cast.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = _read_parquet(spark, _maybe_compact(spark, path) or path)
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # TIMESTAMP(NANOS) read as epoch-nanos long (via nanosAsLong
+            # conf); truncate to µs with integer division — matches
+            # DuckDB's ns→µs cast.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # µs testdata reads natively as TIMESTAMP_NTZ; every plan (and
+            # the DuckDB oracle, whose naive timestamps are UTC wallclock)
+            # works on TimestampType under a UTC session, so pin the zone
+            # (runtime-settable — the driver's session may not have it) and
+            # cast. Under UTC the cast is a pure type relabel.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
