@@ -189,10 +189,11 @@ def ns_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _dup_clusters_sql() -> str:
-    # undirected transitive closure by recursive CTE, then min reachable
-    # id per node = cluster id (DuckDB explores the closure; fine at
-    # oracle scale — the Spark side is the one that must scale)
+def _dup_clusters_ctes() -> str:
+    """Shared recursive-CTE prefix: near-dup pairs → undirected edges →
+    transitive closure → min-reachable-id labels (`lbl(node,
+    cluster_id)`). Callers append their own final SELECT (and any extra
+    CTEs, prefixed with a comma)."""
     from matt3r_data_ingestion_serverless_spark.plans.northstar import _minhash_lsh_sql
 
     pairs = _minhash_lsh_sql().strip()
@@ -210,7 +211,15 @@ reach AS (
 lbl AS (
   SELECT node, least(min(r), node) AS cluster_id
   FROM reach GROUP BY node
-)
+)"""
+
+
+def _dup_clusters_sql() -> str:
+    # undirected transitive closure by recursive CTE, then min reachable
+    # id per node = cluster id (DuckDB explores the closure; fine at
+    # oracle scale — the Spark side is the one that must scale)
+    return f"""
+{_dup_clusters_ctes()}
 SELECT node AS doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM lbl
