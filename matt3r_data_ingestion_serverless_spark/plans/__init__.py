@@ -20,5 +20,6 @@ from matt3r_data_ingestion_serverless_spark.plans import breadth  # noqa: F401,E
 from matt3r_data_ingestion_serverless_spark.plans import curation  # noqa: F401,E402
 from matt3r_data_ingestion_serverless_spark.plans import decision_support  # noqa: F401,E402
 from matt3r_data_ingestion_serverless_spark.plans import llmprep  # noqa: F401,E402
+from matt3r_data_ingestion_serverless_spark.plans import sql_surface  # noqa: F401,E402
 
 __all__ = ["QUERIES", "all_queries", "register"]

@@ -325,6 +325,52 @@ def stationary_sessions_stream(signals: DataFrame, *, gap: str = "13 seconds") -
 
 
 # ---------------------------------------------------------------------------
+# stream-stream interval join
+# ---------------------------------------------------------------------------
+
+
+def speed_ap_joined_stream(
+    signals: DataFrame, *, horizon: str = "5 seconds", watermark: str = "2 seconds"
+) -> DataFrame:
+    """Stream-stream interval join: each speed sample paired with every
+    autopilot-state report from the same device in the trailing
+    ``horizon`` — the live form of the as-of enrichment the reference
+    can only do after both daily files exist (infer_autopilot_states.py
+    runs a day behind the speed channel).
+
+    Scale: both sides carry watermarks and the join predicate bounds
+    event-time distance, so the state store holds only ``horizon`` +
+    ``watermark`` of each side per device — bounded regardless of
+    stream length. The equi-key (device_id) hashes the two streams to
+    the same partitions: the join is co-partitioned, no broadcast, no
+    full-history scan."""
+    speed = (
+        signals.filter(F.col("channel") == "speed")
+        .select(
+            "device_id",
+            F.col("ts").alias("s_ts"),
+            F.col("values")[0].alias("speed_kph"),
+        )
+        .withWatermark("s_ts", watermark)
+    )
+    ap = (
+        signals.filter(F.col("channel") == "ap_status")
+        .select(
+            F.col("device_id").alias("ap_device"),
+            F.col("ts").alias("a_ts"),
+            F.col("state").alias("ap_state"),
+        )
+        .withWatermark("a_ts", watermark)
+    )
+    cond = F.expr(
+        f"device_id = ap_device AND a_ts BETWEEN s_ts - interval {horizon} AND s_ts"
+    )
+    return speed.join(ap, cond, "inner").select(
+        "device_id", "s_ts", "speed_kph", "a_ts", "ap_state"
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming-materialized sketch tables
 # ---------------------------------------------------------------------------
 

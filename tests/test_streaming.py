@@ -247,3 +247,31 @@ def test_streamed_sketch_rollup_matches_batch(spark, tmp_path):
     )
     expected["ALL"] = glob.collect()[0]["est"]
     assert streamed == expected
+
+
+def test_stream_stream_interval_join(spark, dirs):
+    # speed at t=1s has an ap report at t=0.5s inside the 5 s horizon →
+    # joins; speed at t=20s has no ap report in [15s, 20s] → dropped by
+    # the inner interval join. Both sides are live streams.
+    frames = [
+        (500, 921, bytes([0x03])),  # ap ACTIVE_NOMINAL @ 0.5s
+        (1000, 599, bytes([0x00, 0x40, 0x1F])),  # speed @ 1s
+        (20_000, 599, bytes([0x00, 0x40, 0x1F])),  # speed @ 20s, no ap near
+    ]
+    _write_raw(dirs, "join.log", frames)
+    signals = cs.read_canserver_stream(spark, dirs["raw"])
+    joined = pl.speed_ap_joined_stream(signals)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT device_id, unix_micros(s_ts) AS s_us, ap_state FROM ss_join"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].s_us - SYNC_US == 1_000_000
+    assert rows[0].ap_state == "ACTIVE_NOMINAL"
