@@ -98,3 +98,57 @@ def frame_features(df: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
             )
 
     return df.mapInPandas(gen, FRAME_SCHEMA)
+
+
+AUDIO_CHUNK_BYTES = 256  # stand-in for a fixed-duration PCM window
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("chunk_bytes", T.LongType()),
+        T.StructField("energy", T.DoubleType()),
+    ]
+)
+
+
+def audio_chunks(df: DataFrame, chunk_bytes: int = AUDIO_CHUNK_BYTES) -> DataFrame:
+    """(doc_id, blob) → one row per fixed-size audio window with a mean
+    squared-amplitude energy — the segment-then-featurize pass a speech
+    pipeline runs before transcription/VAD. Real decode (resample,
+    channel mix) belongs at decode_image's seam; here bytes stand in
+    for PCM samples so the 1→N chunk expansion, tail handling, and
+    Arrow batch shapes are real.
+
+    Scale: map-side expansion only — no shuffle; a blob is processed
+    within one Arrow batch, and rows grow by len/chunk_bytes, bounded
+    by ``spark.sql.execution.arrow.maxRecordsPerBatch`` upstream."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_doc, out_idx, out_n, out_e = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                a = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.float64)
+                # center to signed amplitude; exact binary fractions
+                a = (a - 128.0) / 128.0
+                n_chunks = max(1, -(-len(a) // chunk_bytes))
+                for i in range(n_chunks):
+                    seg = a[i * chunk_bytes : (i + 1) * chunk_bytes]
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_n.append(len(seg))
+                    out_e.append(round(float(np.mean(seg * seg)), 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(out_doc, dtype=np.int64),
+                    "chunk_idx": np.asarray(out_idx, dtype=np.int32),
+                    "chunk_bytes": np.asarray(out_n, dtype=np.int64),
+                    "energy": np.asarray(out_e, dtype=np.float64),
+                }
+            )
+
+    return df.mapInPandas(gen, CHUNK_SCHEMA)

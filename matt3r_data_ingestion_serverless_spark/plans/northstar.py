@@ -912,3 +912,39 @@ def ns_multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feat_norm"
         ),
     )
+
+
+@register(
+    "ns_multimodal_audio_chunks",
+    sql=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''),
+                        c -> (unicode(c) - 128.0) / 128.0) AS a
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(len(list_slice(a, i * {multimodal.AUDIO_CHUNK_BYTES} + 1,
+                           (i + 1) * {multimodal.AUDIO_CHUNK_BYTES})) AS BIGINT)
+         AS chunk_bytes,
+       round(list_aggregate(
+               list_transform(list_slice(a, i * {multimodal.AUDIO_CHUNK_BYTES} + 1,
+                                         (i + 1) * {multimodal.AUDIO_CHUNK_BYTES}),
+                              x -> x * x), 'avg'), 6) AS energy
+FROM t, unnest(range(0, greatest(CAST(ceil(len(a) / {multimodal.AUDIO_CHUNK_BYTES}.0)
+                                      AS BIGINT), 1))) u(i)
+""",
+)
+def ns_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style chunking of the binary column: fixed-size windows +
+    per-window mean-square energy via mapInPandas
+    (operators/multimodal.py:audio_chunks). The blob is the UTF-8
+    payload; because the corpus is ASCII, byte values equal code
+    points, which is what lets a pure-SQL oracle replay the identical
+    math (amplitudes are exact binary fractions k/128 — bit-stable on
+    both engines)."""
+    docs = multimodal.with_blob(
+        spread(load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
+    )
+    return multimodal.audio_chunks(docs.select("doc_id", "blob"))

@@ -643,3 +643,94 @@ def w5_streamed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         "avg_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# GPS path geometry (reference location channel,
+# parse_canserver_filtered_log.py:172-179 decodes lat/long; the driver
+# events table has no coordinates, so deterministic synthetic ones are
+# derived identically in both engines)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "geo_haversine_path",
+    sql="""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         49.0 + (event_id % 1000) / 1000.0 AS lat,
+         -123.0 + (user_id % 1000) / 500.0 + (event_id % 97) / 970.0 AS lon
+  FROM events
+),
+legs AS (
+  SELECT user_id, lat, lon,
+         lag(lat) OVER w AS plat,
+         lag(lon) OVER w AS plon
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+d AS (
+  SELECT user_id,
+         2 * 6371.0 * asin(sqrt(
+           pow(sin(radians(lat - plat) / 2), 2)
+           + cos(radians(plat)) * cos(radians(lat))
+             * pow(sin(radians(lon - plon) / 2), 2)
+         )) AS km
+  FROM legs WHERE plat IS NOT NULL
+)
+SELECT user_id,
+       count(*) AS n_legs,
+       round(sum(km), 3) AS total_km,
+       round(max(km), 3) AS max_leg_km
+FROM d GROUP BY user_id
+""",
+)
+def geo_haversine_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trip length by great-circle (haversine) leg distances —
+    the location-channel analytic the reference's GPS decode feeds
+    (parse_canserver_filtered_log.py:172-179) but never aggregates.
+
+    Scale: one shuffle (window partition by user = the same hash the
+    groupBy reuses); the trig runs in whole-stage codegen. Distances
+    round to 3 dp (meter precision) so last-ulp libm differences
+    between engines can't flip a comparison digit."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.lit(49.0) + (F.col("event_id") % 1000) / 1000.0).alias("lat"),
+        (
+            F.lit(-123.0)
+            + (F.col("user_id") % 1000) / 500.0
+            + (F.col("event_id") % 97) / 970.0
+        ).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = pts.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).filter(F.col("plat").isNotNull())
+    hav = (
+        F.lit(2 * 6371.0)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lat") - F.col("plat")) / 2), 2)
+                + F.cos(F.radians("plat"))
+                * F.cos(F.radians("lat"))
+                * F.pow(F.sin(F.radians(F.col("lon") - F.col("plon")) / 2), 2)
+            )
+        )
+    )
+    return (
+        legs.select("user_id", hav.alias("km"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_legs"),
+            F.round(F.sum("km"), 3).alias("total_km"),
+            F.round(F.max("km"), 3).alias("max_leg_km"),
+        )
+    )
