@@ -78,3 +78,41 @@ def test_tfidf_df_table_broadcast(spark):
     it after optimization)."""
     plan = _plan(spark, "ns_tfidf_top_terms")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
+    """A date-partitioned fact joined to a filtered dimension must prune
+    partitions at RUNTIME (dynamic partition pruning): the fact scan
+    carries a dynamicpruning subquery on the partition column, so at
+    100 TB only the dimension-selected dates are read at all."""
+    from pyspark.sql import functions as F
+
+    from matt3r_data_ingestion_serverless_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    fact_dir = str(tmp_path / "events_by_date")
+    events = load_table(spark, SF_CORRECTNESS, "events")
+    events.withColumn("date", F.to_date("ts")).write.partitionBy("date").mode(
+        "overwrite"
+    ).parquet(fact_dir)
+
+    # DPP requires a SELECTIVE PREDICATE on the dimension side — a bare
+    # limit/distinct doesn't qualify as filtering, so no pruning
+    # subquery would be planted.
+    dim = (
+        events.select(F.to_date("ts").alias("date"))
+        .distinct()
+        .filter(F.dayofmonth("date") <= 3)
+        .withColumn("keep", F.lit(1))
+    )
+    fact = spark.read.parquet(fact_dir)
+    joined = fact.join(dim.hint("broadcast"), "date").groupBy("date").count()
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan
