@@ -275,3 +275,53 @@ def test_stream_stream_interval_join(spark, dirs):
     assert len(rows) == 1
     assert rows[0].s_us - SYNC_US == 1_000_000
     assert rows[0].ap_state == "ACTIVE_NOMINAL"
+
+
+def test_transform_with_state_v2_matches_v1(spark, dirs):
+    """The state-v2 (transformWithStateInPandas + RocksDB) transition
+    detector must emit exactly what the v1 applyInPandasWithState path
+    emits, including across batch boundaries.
+
+    The state-v2 Python protocol speaks protobuf to the JVM state
+    server; this container ships no google.protobuf, so the test (and
+    the operator) activates only where the wheel exists."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas requires protobuf (not in container)",
+    )
+    _write_raw(
+        dirs,
+        "f1.log",
+        [(0, 921, bytes([0x00])), (100, 921, bytes([0x02])), (200, 921, bytes([0x03])),
+         (300, 921, bytes([0x01])), (400, 921, bytes([0x03]))],
+    )
+    signals = cs.read_canserver_stream(spark, dirs["raw"])
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = pl.ap_transitions_stream_v2(signals)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("twsv2")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rows = {
+        (r.status, r.ts_us - SYNC_US, r.canbus_state)
+        for r in spark.sql("SELECT * FROM twsv2").collect()
+    }
+    assert rows == {
+        ("engagement", 200_000, 3.0),
+        ("disengagement", 300_000, 1.0),
+        ("engagement", 400_000, 3.0),
+    }
