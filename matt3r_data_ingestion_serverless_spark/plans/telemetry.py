@@ -32,6 +32,28 @@ STATIONARY_MIN_DUR_S = 900.0  # events are minutes apart; 13 s scaled up
 STATIONARY_TRIM_S = 3.0
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_state_partitions(spark: SparkSession, n: str = "8"):
+    """Pin shuffle partitions (= state-store instance count) for the
+    duration of one streamed gate query. Every stateful micro-batch
+    commits one state store per shuffle partition; at this harness's
+    scale 32 stores cost more in per-batch commit overhead than they
+    buy in parallelism (measured: w2/w1/w5 streamed ~1.9 s → ~1.1 s at
+    8), and under the driver's plain session the default would be 200.
+    Each call starts a FRESH checkpoint (uuid sink), so the pinned
+    count never conflicts with prior state; production streams size
+    this to cluster cores instead."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table with `ts` standardized
     to TimestampType µs under a UTC-pinned session.
@@ -517,13 +539,14 @@ def w2_streamed_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         trim_s=STATIONARY_TRIM_S,
     )
     sink = f"w2_streamed_{uuid.uuid4().hex[:8]}"
-    (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _stream_state_partitions(spark):
+        (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(sink).select(
         F.col("device_id").cast("long").alias("user_id"),
         "start_us",
@@ -582,13 +605,14 @@ def w1_streamed_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = f"w1_streamed_{uuid.uuid4().hex[:8]}"
-    (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _stream_state_partitions(spark):
+        (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(sink).select(
         F.col("device_id").cast("long").alias("user_id"),
         "ts_us",
@@ -629,14 +653,15 @@ def w5_streamed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"w5_streamed_{uuid.uuid4().hex[:8]}"
-    (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _stream_state_partitions(spark):
+        (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(sink).select(
         "user_id",
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias("bucket"),
