@@ -392,3 +392,76 @@ def sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
         )
     )
+
+
+@register(
+    "mode_by_group",
+    sql="""
+SELECT l_returnflag,
+       mode(l_linestatus ORDER BY l_linestatus) AS status_mode,
+       mode(CAST(l_quantity AS INT) ORDER BY CAST(l_quantity AS INT)) AS qty_mode,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (deterministic: ties resolve to the
+    smallest value in both engines). Spark's mode() takes a boolean
+    deterministic flag; DuckDB orders the tie with an aggregate ORDER
+    BY — same contract.
+
+    Scale: mode is a hash agg over (group, value) then an argmax —
+    Spark executes it as a single aggregate with an internal map;
+    cardinality is bounded by distinct values per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("mode(l_linestatus, true)").alias("status_mode"),
+        F.expr("mode(CAST(l_quantity AS INT), true)").alias("qty_mode"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "map_ops_roundtrip",
+    sql="""
+WITH agg AS (
+  SELECT user_id, event_type, round(avg(value), 6) AS avg_v
+  FROM events WHERE user_id < 100 GROUP BY user_id, event_type
+),
+m AS (
+  SELECT user_id, map_from_entries(list(ROW(event_type, avg_v))) AS tv
+  FROM agg GROUP BY user_id
+)
+SELECT user_id,
+       unnest(map_keys(tv)) AS event_type,
+       round(unnest(map_values(tv)) * 2, 6) AS doubled_avg,
+       cardinality(tv) AS n_types
+FROM m
+""",
+)
+def map_ops_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType higher-order surface: rows → map_from_entries →
+    transform_values → explode back to rows. The map round-trip is the
+    shape device-state payloads take in the reference's gold documents
+    (infer_autopilot_states.py:91-95 keys events by state name); here
+    the whole trip stays JVM-side.
+
+    Scale: one hash agg builds per-user maps (bounded by distinct event
+    types); transform_values/explode are per-row expressions — no extra
+    shuffle after the agg."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    agg = e.groupBy("user_id", "event_type").agg(F.round(F.avg("value"), 6).alias("avg_v"))
+    m = agg.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "avg_v"))).alias("tv")
+    )
+    doubled = m.select(
+        "user_id",
+        F.transform_values("tv", lambda _, v: F.round(v * 2, 6)).alias("tv2"),
+        F.size("tv").cast("long").alias("n_types"),
+    )
+    return doubled.select(
+        "user_id",
+        F.explode("tv2").alias("event_type", "doubled_avg"),
+        "n_types",
+    ).select("user_id", "event_type", "doubled_avg", "n_types")

@@ -11,7 +11,7 @@ documents into fixed-token training chunks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from matt3r_data_ingestion_serverless_spark.plans.registry import register
@@ -258,4 +258,68 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, c.chunk_idx, c.chunk_tokens, c.chunk_hash
         FROM docs_for_chunking d, LATERAL chunk_doc_udtf(d.text) c
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: greedy streaming pack of chunks into fixed-token
+# training sequences
+# ---------------------------------------------------------------------------
+
+PACK_TOKENS = 512  # target tokens per packed training sequence
+
+
+@register(
+    "ns_sequence_packing",
+    sql=f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+p AS (
+  SELECT doc_id, n_tok,
+         CAST(floor((cum - n_tok) / {PACK_TOKENS}) AS BIGINT) AS pack_id
+  FROM c
+)
+SELECT pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM p GROUP BY pack_id
+""",
+)
+def ns_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: documents are laid end-to-end in a
+    deterministic order and cut into ~{n}-token training sequences
+    (pack_id = floor(preceding-token-mass / {n})) — the concat-and-
+    chunk batching step between tokenization and the training loader.
+
+    Scale: one global running sum. A single-ordering cumulative window
+    serializes at 100 TB, so production packs WITHIN a partition key
+    (shard by hash(doc_id) first, pack per shard — each shard's packs
+    are independent); the global form here keeps the oracle exact. The
+    agg after the window reuses the same ordering — no extra shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " ")).cast("long").alias("n_tok"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    p = t.select(
+        "doc_id",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_TOKENS).alias("pack_id"),
+    )
+    return p.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )
