@@ -323,3 +323,89 @@ def ns_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus shuffle + token-budget selection
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SALT = "epoch0"
+TOKEN_BUDGET = 20_000
+
+
+@register(
+    "ns_shuffle_deterministic",
+    sql=f"""
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || '{SHUFFLE_SALT}'),
+                          doc_id) AS position
+FROM documents
+""",
+)
+def ns_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: position = rank under a
+    salted hash of the key. Reproducible across engines, clusters, and
+    re-runs (no RNG state); changing the salt per epoch re-shuffles.
+
+    Scale: a total order needs one range-partitioned sort — at 100 TB
+    the hash column sorts near-uniformly, so range partitioning is
+    balanced by construction (no skew, no sampling surprises). Writers
+    then emit shard files in position order; readers stream shards
+    sequentially."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(SHUFFLE_SALT)))
+    w = Window.orderBy(h, F.col("doc_id"))
+    return docs.select("doc_id", F.row_number().over(w).alias("position"))
+
+
+@register(
+    "ns_token_budget_select",
+    sql=f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS n_tok,
+         round(len(list_filter(string_split(lower(text), ' '),
+                               t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that')))::DOUBLE
+               / len(string_split(lower(text), ' ')), 6) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tok, quality,
+         sum(n_tok) OVER (ORDER BY quality DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM scored
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, quality,
+       CAST(cum_tok AS BIGINT) AS cum_tok
+FROM ranked WHERE cum_tok <= {TOKEN_BUDGET}
+""",
+)
+def ns_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: rank documents by a quality score
+    (stopword density as the stand-in signal) and keep the best until
+    the training-token budget is spent — the data-mixing step that
+    turns 'all of CommonCrawl' into 'the N billion tokens we train on'.
+
+    Scale: global quality ordering = one range sort; the cumulative sum
+    reuses that ordering (no second shuffle). For multi-trillion-token
+    corpora, bucket by quality decile first and take whole buckets +
+    one boundary bucket — avoids the global sort entirely."""
+    from matt3r_data_ingestion_serverless_spark.functions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.round(tx.stopword_hits(toks, "en") / F.size(toks), 6).alias("quality"),
+    )
+    w = Window.orderBy(F.desc("quality"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = scored.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return ranked.filter(F.col("cum_tok") <= TOKEN_BUDGET).select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "quality",
+        F.col("cum_tok").cast("long").alias("cum_tok"),
+    )
