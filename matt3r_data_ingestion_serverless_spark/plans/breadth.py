@@ -465,3 +465,73 @@ def map_ops_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("tv2").alias("event_type", "doubled_avg"),
         "n_types",
     ).select("user_id", "event_type", "doubled_avg", "n_types")
+
+
+@register(
+    "regression_aggregates",
+    sql="""
+SELECT event_type,
+       CAST(regr_count(value, CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS n,
+       round(regr_slope(value, CAST(json_extract(props, '$.k') AS INTEGER)), 6)
+         AS slope,
+       round(regr_intercept(value, CAST(json_extract(props, '$.k') AS INTEGER)), 6)
+         AS intercept,
+       round(regr_avgx(value, CAST(json_extract(props, '$.k') AS INTEGER)), 6)
+         AS avg_x,
+       round(regr_avgy(value, CAST(json_extract(props, '$.k') AS INTEGER)), 6)
+         AS avg_y
+FROM events
+GROUP BY event_type
+""",
+)
+def regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard linear-regression aggregates (regr_slope/intercept/
+    avgx/avgy/count) of signal value against the JSON payload's k field
+    — the trend-extraction step a telemetry dashboard derives per
+    channel, computed by the engine instead of exporting to Python.
+
+    Scale: regr_* are algebraic aggregates (sums/products) — map-side
+    partials combine in one shuffle like any avg; no second pass."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    pairs = e.select("event_type", F.col("value").alias("y"), k.alias("x"))
+    return pairs.groupBy("event_type").agg(
+        F.regr_count("y", "x").cast("long").alias("n"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.round(F.regr_avgx("y", "x"), 6).alias("avg_x"),
+        F.round(F.regr_avgy("y", "x"), 6).alias("avg_y"),
+    )
+
+
+@register(
+    "bool_bit_aggregates",
+    sql="""
+SELECT l_returnflag,
+       bool_and(l_quantity > 1) AS all_multi,
+       bool_or(l_discount > 0.09) AS any_deep_discount,
+       bit_and(CAST(l_quantity AS BIGINT)) AS qty_bit_and,
+       bit_or(CAST(l_quantity AS BIGINT)) AS qty_bit_or,
+       bit_xor(CAST(l_quantity AS BIGINT)) AS qty_bit_xor
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def bool_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logical and bitwise aggregate breadth: bool_and/bool_or (ANSI
+    every/any) and bit_and/bit_or/bit_xor. bit_xor is the classic
+    set-reconciliation trick — xor of two replicas' key sets is zero
+    iff they hold identical keys, a one-number table-diff at 100 TB.
+
+    Scale: all five are algebraic — constant-size partial state,
+    map-side combine, one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 1).alias("all_multi"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bit_and(q).alias("qty_bit_and"),
+        F.bit_or(q).alias("qty_bit_or"),
+        F.bit_xor(q).alias("qty_bit_xor"),
+    )
