@@ -241,3 +241,59 @@ def trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_15m"),
         F.round(F.sum("value").over(w), 6).alias("sum_15m"),
     )
+
+
+@register(
+    "ts_anomaly_zscore",
+    sql="""
+WITH w AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         avg(value) OVER tw AS mu,
+         stddev_samp(value) OVER tw AS sd,
+         count(*) OVER tw AS n_win
+  FROM events
+  WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, ts_us, round(value, 6) AS value,
+       round((value - mu) / sd, 4) AS zscore
+FROM w
+WHERE n_win >= 10 AND sd > 0 AND abs((value - mu) / sd) > 3
+""",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each sample scored against the
+    trailing 20 samples' mean/std (exclusive of itself); emit points
+    beyond 3σ once the window has ≥10 samples — the channel-health
+    monitor a telemetry fleet runs on every signal.
+
+    Scale: one window partition per device (the same user_id hash every
+    telemetry query shuffles on); trailing ROWS frames stream in one
+    sort — state is the 20-row frame, not the series. The z-score
+    rounds at 4 dp: the quotient amplifies ulp-level stddev
+    differences between engines, and anomalies are magnitudes, not
+    micro-precision values."""
+    e = load_table(spark, sf_dir, "events")
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    w = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.avg("value").over(tw).alias("mu"),
+        F.stddev_samp("value").over(tw).alias("sd"),
+        F.count("*").over(tw).alias("n_win"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        w.filter((F.col("n_win") >= 10) & (F.col("sd") > 0) & (F.abs(z) > 3))
+        .select(
+            "user_id",
+            "ts_us",
+            F.round("value", 6).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
