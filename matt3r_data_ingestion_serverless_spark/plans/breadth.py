@@ -535,3 +535,70 @@ def bool_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(q).alias("qty_bit_or"),
         F.bit_xor(q).alias("qty_bit_xor"),
     )
+
+
+@register(
+    "profile_columns",
+    sql="""
+SELECT 'event_type' AS col_name,
+       count(*) - count(event_type) AS n_nulls,
+       count(DISTINCT event_type) AS n_distinct,
+       min(event_type) AS min_s, max(event_type) AS max_s
+FROM events
+UNION ALL
+SELECT 'user_id', count(*) - count(user_id), count(DISTINCT user_id),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'value', count(*) - count(value), count(DISTINCT round(value, 6)),
+       CAST(round(min(value), 6) AS VARCHAR), CAST(round(max(value), 6) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'ts_us', count(*) - count(ts), count(DISTINCT ts),
+       CAST(min(epoch_us(ts)) AS VARCHAR), CAST(max(epoch_us(ts)) AS VARCHAR)
+FROM events
+""",
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling audit: per-column null count, distinct count, and
+    min/max — the ingest-time data-quality gate (the reference silently
+    writes 'NA' sentinels, parse_canserver_filtered_log.py:199; a
+    profile row is how you notice).
+
+    Scale: one scan per profiled set via a multi-count-distinct agg
+    (Catalyst expands distinct aggregates into one shared Exchange);
+    min/max piggyback as algebraic partials. String-typed min/max keep
+    one output schema across column types."""
+    e = load_table(spark, sf_dir, "events")
+
+    def one(col_name: str, c, distinct_c=None, fmt=None):
+        distinct_c = distinct_c if distinct_c is not None else c
+        fmt = fmt or (lambda x: x.cast("string"))
+        return e.agg(
+            F.lit(col_name).alias("col_name"),
+            (F.count("*") - F.count(c)).alias("n_nulls"),
+            F.count_distinct(distinct_c).alias("n_distinct"),
+            fmt(F.min(c)).alias("min_s"),
+            fmt(F.max(c)).alias("max_s"),
+        )
+
+    rounded = F.round(F.col("value"), 6)
+    return (
+        one("event_type", F.col("event_type"))
+        .unionByName(one("user_id", F.col("user_id")))
+        .unionByName(
+            one(
+                "value",
+                F.col("value"),
+                distinct_c=rounded,
+                fmt=lambda x: F.round(x, 6).cast("string"),
+            )
+        )
+        .unionByName(
+            one(
+                "ts_us",
+                F.col("ts"),
+                fmt=lambda x: F.unix_micros(x).cast("string"),
+            )
+        )
+    )

@@ -948,3 +948,71 @@ def ns_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
     )
     return multimodal.audio_chunks(docs.select("doc_id", "blob"))
+
+
+CONTAINMENT_T = 0.5  # flag when either-direction containment ≥ this
+
+
+def _containment_sql() -> str:
+    sig = hashing.minhash_from_hashes_sql("sh")
+    inter = "len(list_intersect(da.sh, db.sh))::DOUBLE"
+    return f"""
+WITH {_hashed_shingles_cte()},
+s AS (SELECT doc_id, sh, {sig} AS sig FROM d),
+bk AS (SELECT doc_id, unnest({_minhash_band_structs_sql()}, recursive := true) FROM s),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+                           AND a.doc_id < b.doc_id),
+v AS (SELECT doc_a, doc_b,
+             round({inter} / len(list_distinct(da.sh)), 6) AS cont_ab,
+             round({inter} / len(list_distinct(db.sh)), 6) AS cont_ba
+      FROM cand JOIN d da ON doc_a = da.doc_id
+                JOIN d db ON doc_b = db.doc_id)
+SELECT doc_a, doc_b, cont_ab, cont_ba
+FROM v WHERE greatest(cont_ab, cont_ba) >= {CONTAINMENT_T}
+"""
+
+
+@register("ns_containment_pairs", sql=_containment_sql())
+def ns_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment similarity over the LSH candidate pairs:
+    C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|. Containment catches
+    subset/quote relationships (a short doc embedded in a long one)
+    that symmetric Jaccard under-scores when sizes differ — the
+    quote-detection complement to ns_dedup_minhash_lsh.
+
+    Scale: identical candidate generation to the LSH dedup (linear
+    band shuffle); only the verification formula differs, computed on
+    the same pinned shingle relation."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    d = _with_hashed_shingles(docs).select("doc_id", "sh")
+    s = _pin(
+        d.select("doc_id", "sh", hashing.minhash_from_hashes(F.col("sh")).alias("sig"))
+    )
+    bk = s.select(
+        "doc_id", F.explode(_minhash_band_structs(F.col("sig"))).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    cont_ab = F.round(inter / F.size(F.array_distinct("sh_a")), 6)
+    cont_ba = F.round(inter / F.size(F.array_distinct("sh_b")), 6)
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a", "doc_b", cont_ab.alias("cont_ab"), cont_ba.alias("cont_ba")
+        )
+        .filter(F.greatest("cont_ab", "cont_ba") >= CONTAINMENT_T)
+    )
