@@ -116,3 +116,36 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
         joined.explain("formatted")
     plan = buf.getvalue()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_pii_mask_customer_broadcast(spark):
+    """The customer side of the PII join is dimension-sized — it must
+    broadcast; a shuffled fact side would move the whole event table
+    for a per-row string scrub."""
+    plan = _plan(spark, "ns_pii_mask_events")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Pure-Catalyst chunking is a per-row flatMap: the only Exchange
+    allowed is the explicit spread() repartition of the scan — nothing
+    downstream of the explode may shuffle."""
+    import re
+
+    plan = _plan(spark, "ns_chunk_documents")
+    # formatted explain prints each node twice (tree + detail): count
+    # the detail headers, which appear once per physical node
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 1, plan
+    assert "Generate" in plan, plan  # the explode runs in-stage
+
+
+def test_sequence_packing_single_sort(spark):
+    """Packing = one global running sum: exactly one ordering shuffle
+    feeding the window, and the pack aggregation must not introduce a
+    second wide exchange of the full data (AQE may add tiny coalesced
+    exchanges on the agg side at test SF, but no extra Sort)."""
+    plan = _plan(spark, "ns_sequence_packing")
+    assert plan.count("Sort ") + plan.count("Sort\n") <= 2, plan  # window sort (+agg sort-agg if any)
+    assert "Window" in plan, plan
