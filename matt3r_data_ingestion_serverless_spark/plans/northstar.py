@@ -890,13 +890,39 @@ def ns_multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ns_multimodal_frame_features")  # rows-only: mapInPandas, no SQL twin
+def _frame_features_sql() -> str:
+    n_frames, dim = multimodal.N_FRAMES, multimodal.FEATURE_DIM
+    at = "a[(f * 7 + {k} * 3) % len(a) + 1] / 256.0"
+    feats = [at.format(k=k) for k in range(dim)]
+    s = " + ".join(feats)
+    sq = " + ".join(f"({x}) * ({x})" for x in feats)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> unicode(c)) AS a
+  FROM documents
+)
+SELECT doc_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(len(a) AS BIGINT) AS n_bytes,
+       round({s}, 6) AS feat_sum,
+       round(sqrt({sq}), 6) AS feat_norm
+FROM t, unnest(range(0, {n_frames})) u(f)
+"""
+
+
+@register("ns_multimodal_frame_features", sql=_frame_features_sql())
 def ns_multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample + feature-extract over the binary column via
     mapInPandas (Arrow-batched). The decode step is a deterministic fake
     (real codecs unavailable here — see multimodal.decode_image); the
     Spark-side plumbing (binary schema, batch iteration, 1→N row
-    expansion, typed feature array output) is the real thing."""
+    expansion, typed feature array output) is the real thing.
+
+    Full oracle (upgraded from rows-only): the blob is the ASCII
+    payload, so byte values equal code points and the stride-sampled
+    features are exact binary fractions (k/256) — a pure-SQL twin
+    replays the identical gather, hash-checked like any other query."""
     docs = multimodal.with_blob(spread(load_table(spark, sf_dir, "documents")))
     feats = multimodal.frame_features(docs.select("doc_id", "blob"))
     # Project the feature vector to scalar summaries: the driver's result

@@ -759,3 +759,45 @@ def geo_haversine_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("km"), 3).alias("max_leg_km"),
         )
     )
+
+
+@register(
+    "j1_streamed_dedupe",
+    sql="""
+SELECT event_type, count(*) AS n_distinct_events
+FROM (SELECT DISTINCT event_id, event_type FROM events)
+GROUP BY event_type
+""",
+)
+def j1_streamed_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's cross-file duplicate collapse through the STREAMING engine,
+    graded in the oracle gate: the events stream is unioned with ITSELF
+    — every record delivered exactly twice, the at-least-once worst
+    case — and deduplicated in-stream by key (dropDuplicates state).
+    The memory sink then aggregates per type; parity with batch
+    DISTINCT proves the duplicate delivery was fully absorbed.
+
+    Scale: keyed dedupe state grows with distinct keys; production
+    bounds it with dropDuplicatesWithinWatermark (W3) — unbounded here
+    because the closed replay ends. The union is stream-native: both
+    legs read the same files, no join, no shuffle beyond the dedupe
+    key hash."""
+    import uuid
+
+    s1 = _events_stream(spark, sf_dir).select("event_id", "event_type")
+    s2 = _events_stream(spark, sf_dir).select("event_id", "event_type")
+    dd = s1.unionByName(s2).dropDuplicates(["event_id"])
+    sink = f"j1_streamed_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        (
+            dd.writeStream.format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_distinct_events"))
+    )
