@@ -325,3 +325,42 @@ def test_transform_with_state_v2_matches_v1(spark, dirs):
         ("disengagement", 300_000, 1.0),
         ("engagement", 400_000, 3.0),
     }
+
+
+def test_stateful_stream_under_rocksdb_provider(spark, dirs):
+    """The applyInPandasWithState pipeline must run unchanged on the
+    RocksDB state-store provider — the off-heap backend a production
+    cluster uses so state is disk-bounded, not executor-memory-bounded.
+    (JVM-side only: unlike the state-v2 Python protocol, no protobuf.)"""
+    _write_raw(
+        dirs,
+        "r1.log",
+        [(0, 921, bytes([0x00])), (100, 921, bytes([0x02])), (200, 921, bytes([0x03])),
+         (300, 921, bytes([0x01]))],
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        signals = cs.read_canserver_stream(spark, dirs["raw"])
+        out = pl.ap_transitions_stream(signals)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("rocksdb_ap")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rows = {
+        (r.status, r.ts_us - SYNC_US)
+        for r in spark.sql("SELECT * FROM rocksdb_ap").collect()
+    }
+    assert rows == {("engagement", 200_000), ("disengagement", 300_000)}
