@@ -602,3 +602,44 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "ns_fuzzy_name_pairs",
+    sql="""
+WITH names AS (SELECT DISTINCT p_name FROM part),
+b AS (SELECT p_name, string_split(p_name, ' ')[2] AS blk FROM names)
+SELECT a.p_name AS name_a, c.p_name AS name_b,
+       CAST(levenshtein(a.p_name, c.p_name) AS INT) AS dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+WHERE levenshtein(a.p_name, c.p_name) <= 4
+""",
+)
+def ns_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy join: candidate pairs share a
+    blocking key (the head noun), then Levenshtein distance verifies —
+    the dedup move for NAMES, where shingle/minhash dedup is too coarse
+    (a one-letter typo is a near-identical entity, not a 0.3-Jaccard
+    stranger).
+
+    Scale: never all-pairs — the block key bounds the self-join to
+    within-block candidates (classic blocking); distance runs only on
+    candidates. Skewed blocks get a second key (first char, length
+    band) exactly like LSH band tuning."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    b = names.withColumn("blk", F.split(F.col("p_name"), " ")[1])
+    a, c = b.alias("a"), b.alias("c")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("c.p_name"))
+    return (
+        a.join(
+            c,
+            (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.p_name") < F.col("c.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("c.p_name").alias("name_b"),
+            dist.cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= 4)
+    )

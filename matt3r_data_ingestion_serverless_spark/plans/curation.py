@@ -656,3 +656,51 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r.select(F.col("node").alias("doc_id"), F.round("r", 6).alias("pagerank"))
+
+
+def _triangles_sql() -> str:
+    from matt3r_data_ingestion_serverless_spark.plans.northstar import _minhash_lsh_sql
+
+    pairs = _minhash_lsh_sql().strip()
+    return f"""
+WITH pairs AS ({pairs}),
+e AS (SELECT doc_a AS s, doc_b AS t FROM pairs)
+SELECT e1.s AS a, e1.t AS b, e2.t AS c
+FROM e e1
+JOIN e e2 ON e1.t = e2.s
+JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t
+"""
+
+
+@register("graph_triangles", sql=_triangles_sql())
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the near-dup graph (edges canonical
+    a<b, so each triangle lists once as a<b<c) — the clustering-
+    coefficient primitive that separates tight dup cliques from
+    accidental chains.
+
+    Scale: the two joins are on single node keys; with edges
+    pre-partitioned by source the first join is co-located, and the
+    closing-edge probe hits the same partitioning. Degree-ordering
+    (orient edges low-degree → high-degree) keeps worst-case work at
+    O(m^1.5) on skewed graphs — here edges are already canonical."""
+    from matt3r_data_ingestion_serverless_spark.plans.northstar import (
+        ns_dedup_minhash_lsh,
+    )
+
+    e = _pin(ns_dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("t")
+    ))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.t") == F.col("e2.s"))
+        .join(
+            e3,
+            (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.t") == F.col("e2.t")),
+        )
+        .select(
+            F.col("e1.s").alias("a"),
+            F.col("e1.t").alias("b"),
+            F.col("e2.t").alias("c"),
+        )
+    )
