@@ -643,3 +643,130 @@ def ns_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 4)
     )
+
+
+MIN_PAIR_SUPPORT = 50  # orders containing both brands
+
+
+@register(
+    "market_basket_rules",
+    sql=f"""
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n FROM items),
+cnt AS (SELECT b, CAST(count(*) AS DOUBLE) AS c FROM items GROUP BY b),
+pair AS (
+  SELECT a.b AS ba, c.b AS bb, CAST(count(*) AS DOUBLE) AS cab
+  FROM items a JOIN items c ON a.o = c.o AND a.b < c.b
+  GROUP BY a.b, c.b
+)
+SELECT ba AS brand_a, bb AS brand_b, CAST(cab AS BIGINT) AS n_ab,
+       round(cab / n.n, 6) AS support,
+       round(cab / ca.c, 6) AS confidence,
+       round((cab / ca.c) / (cb.c / n.n), 6) AS lift
+FROM pair CROSS JOIN n
+JOIN cnt ca ON ba = ca.b
+JOIN cnt cb ON bb = cb.b
+WHERE cab >= {MIN_PAIR_SUPPORT}
+""",
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (support / confidence / lift) over order
+    baskets at brand granularity — the classic co-occurrence analytic,
+    done with joins + aggs instead of a specialized FP-growth pass.
+
+    Scale: the pair self-join is WITHIN basket (equi-key on order id),
+    so pair cardinality is Σ k_i² over basket sizes — bounded by small
+    baskets, never |items|². Brand/total counts are tiny and broadcast
+    back onto the pair table; min-support prunes before the rule math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    from matt3r_data_ingestion_serverless_spark.plans.northstar import _pin
+
+    items = _pin(items)
+    n = items.select(F.count_distinct("o").cast("double").alias("n"))
+    cnt = items.groupBy("b").agg(F.count("*").cast("double").alias("c"))
+    a, c = items.alias("a"), items.alias("c")
+    pair = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.b") < F.col("c.b")))
+        .groupBy(F.col("a.b").alias("ba"), F.col("c.b").alias("bb"))
+        .agg(F.count("*").cast("double").alias("cab"))
+        .filter(F.col("cab") >= MIN_PAIR_SUPPORT)
+    )
+    ca = cnt.select(F.col("b").alias("ba"), F.col("c").alias("c_a"))
+    cb = cnt.select(F.col("b").alias("bb"), F.col("c").alias("c_b"))
+    return (
+        pair.crossJoin(F.broadcast(n))
+        .join(F.broadcast(ca), "ba")
+        .join(F.broadcast(cb), "bb")
+        .select(
+            F.col("ba").alias("brand_a"),
+            F.col("bb").alias("brand_b"),
+            F.col("cab").cast("long").alias("n_ab"),
+            F.round(F.col("cab") / F.col("n"), 6).alias("support"),
+            F.round(F.col("cab") / F.col("c_a"), 6).alias("confidence"),
+            F.round((F.col("cab") / F.col("c_a")) / (F.col("c_b") / F.col("n")), 6).alias(
+                "lift"
+            ),
+        )
+    )
+
+
+_SALT_BUCKETS = 16
+
+
+@register(
+    "salted_skew_join",
+    sql="""
+WITH skewed AS (
+  SELECT event_id, value,
+         CASE WHEN user_id % 10 < 8 THEN 0 ELSE user_id END AS hot_key
+  FROM events
+),
+dim AS (SELECT DISTINCT hot_key, concat('grp-', hot_key) AS label FROM skewed)
+SELECT d.label, count(*) AS n_events, round(sum(s.value), 4) AS total_value
+FROM skewed s JOIN dim d ON s.hot_key = d.hot_key
+GROUP BY d.label
+""",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: 80% of events hash to ONE hot key (the
+    planted worst case). The fact side adds a deterministic salt, the
+    dimension replicates ×{s} salts, and the join runs on (key, salt) —
+    splitting the hot key across {s} tasks instead of one straggler.
+    The oracle is the UNSALTED join: salting must be semantically
+    invisible.
+
+    Scale: this is the manual fallback when AQE's skew-join splitting
+    can't apply (e.g. the build side is replicated anyway, or the skew
+    is in a shuffle-agg). Salt count trades replication bandwidth for
+    parallelism; 16 salts caps the hot task at ~5% of rows here."""
+    e = load_table(spark, sf_dir, "events")
+    skewed = e.select(
+        "event_id",
+        "value",
+        F.when(F.col("user_id") % 10 < 8, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("hot_key"),
+    )
+    dim = skewed.select("hot_key").distinct().withColumn(
+        "label", F.concat(F.lit("grp-"), F.col("hot_key"))
+    )
+    salts = spark.range(_SALT_BUCKETS).select(F.col("id").cast("int").alias("salt"))
+    dim_rep = dim.crossJoin(F.broadcast(salts))
+    fact = skewed.withColumn("salt", (F.col("event_id") % _SALT_BUCKETS).cast("int"))
+    return (
+        fact.join(dim_rep, ["hot_key", "salt"])
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
