@@ -633,8 +633,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = ns_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = _pin(
-        pairs.union(pairs.select("doc_b", "doc_a")).toDF("s", "t")
+    # eager checkpoint, not lazy persist: the rank loop's broadcast
+    # subqueries (deg, n) and the 3-join main plan each reference
+    # edges — materializing once up front gives AQE real edge-count
+    # stats for every downstream stage and avoids re-racing the LSH
+    # pipeline in the broadcast jobs.
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("s", "t")
+        .localCheckpoint(eager=True)
     )
     nodes = edges.select(F.col("s").alias("node")).distinct()
     n = nodes.agg(F.count("*").cast("double").alias("n"))
