@@ -364,3 +364,42 @@ def test_stateful_stream_under_rocksdb_provider(spark, dirs):
         for r in spark.sql("SELECT * FROM rocksdb_ap").collect()
     }
     assert rows == {("engagement", 200_000), ("disengagement", 300_000)}
+
+
+def test_chained_stateful_operators_one_stream(spark, dirs):
+    """Two stateful operators in ONE streaming query (Spark 3.4+):
+    watermarked keyed dedupe feeding a session_window aggregate —
+    the reference's W3 reorder buffer and W2 sessionization fused in a
+    single topology instead of two checkpointed hops through a table."""
+    zero = bytes([0x00, 0x40, 0x1F])
+    frames = (
+        [(i * 1000, 599, zero) for i in range(6)]
+        + [(3000, 599, zero)]  # duplicate mid-run sample (re-delivery)
+        + [(40_000, 599, zero)]  # second session after a 34 s gap
+        + [(60_000, 599, zero)]  # watermark pusher: closes both sessions
+    )
+    _write_raw(dirs, "chain.log", frames)
+    signals = cs.read_canserver_stream(spark, dirs["raw"])
+    zeroes = (
+        signals.filter((signals.channel == "speed") & (signals["values"][0] <= 0.0))
+        .withWatermark("ts", "2 seconds")
+        .dropDuplicatesWithinWatermark(["device_id", "ts"])
+    )
+    sessions = (
+        zeroes.groupBy("device_id", F.session_window("ts", "10 seconds"))
+        .agg(F.count("*").alias("n_samples"))
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("chained_stateful")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT n_samples FROM chained_stateful ORDER BY n_samples"
+    ).collect()
+    # 6 unique zero samples in session 1 (duplicate absorbed by the
+    # dedupe stage, NOT counted twice), 1 in session 2
+    assert [r.n_samples for r in rows] == [1, 6]
