@@ -718,3 +718,77 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.t").alias("c"),
         )
     )
+
+
+PMI_VOCAB_K = 30  # top-df terms admitted to the co-occurrence matrix
+PMI_MIN_PAIR = 25  # documents containing both terms
+
+
+@register(
+    "ns_pmi_cooccurrence",
+    sql=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({text.distinct_tokens_sql('text')}) AS term
+  FROM documents
+),
+df AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+vocab AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT {PMI_VOCAB_K}),
+vt AS (SELECT t.doc_id, t.term FROM tok t JOIN vocab v ON t.term = v.term),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+pair AS (
+  SELECT a.term AS ta, b.term AS tb, CAST(count(*) AS DOUBLE) AS cab
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+)
+SELECT ta AS term_a, tb AS term_b, CAST(cab AS BIGINT) AS n_docs_both,
+       round(ln((cab / n.n) / ((va.df / n.n) * (vb.df / n.n))), 6) AS pmi
+FROM pair CROSS JOIN n
+JOIN vocab va ON ta = va.term
+JOIN vocab vb ON tb = vb.term
+WHERE cab >= {PMI_MIN_PAIR}
+""",
+)
+def ns_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over document-level term
+    co-occurrence, restricted to the top-{k}-df vocabulary — the
+    collocation/topic-signal statistic that token-level TF-IDF can't
+    see (PMI > 0 ⇒ terms travel together more than independence
+    predicts).
+
+    Scale: vocabulary restriction is the whole trick — the
+    co-occurrence self-join runs on |vocab| terms per doc, so pair
+    cardinality is ≤ |docs|·k², never |vocab|². The df table and the
+    corpus count broadcast; min-pair pruning cuts before the log."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(text.distinct_tokens(F.col("text"))).alias("term")
+    ).distinct()
+    tok = _pin(tok)
+    df_t = tok.groupBy("term").agg(F.count("*").alias("df"))
+    vocab = df_t.orderBy(F.desc("df"), F.asc("term")).limit(PMI_VOCAB_K)
+    vt = tok.join(F.broadcast(vocab.select("term")), "term")
+    n = docs.agg(F.count_distinct("doc_id").cast("double").alias("n"))
+    a, b = vt.alias("a"), vt.alias("b")
+    pair = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")))
+        .groupBy(F.col("a.term").alias("ta"), F.col("b.term").alias("tb"))
+        .agg(F.count("*").cast("double").alias("cab"))
+        .filter(F.col("cab") >= PMI_MIN_PAIR)
+    )
+    va = vocab.select(F.col("term").alias("ta"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("term").alias("tb"), F.col("df").alias("df_b"))
+    pmi = F.log(
+        (F.col("cab") / F.col("n"))
+        / ((F.col("df_a") / F.col("n")) * (F.col("df_b") / F.col("n")))
+    )
+    return (
+        pair.crossJoin(F.broadcast(n))
+        .join(F.broadcast(va), "ta")
+        .join(F.broadcast(vb), "tb")
+        .select(
+            F.col("ta").alias("term_a"),
+            F.col("tb").alias("term_b"),
+            F.col("cab").cast("long").alias("n_docs_both"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+    )
