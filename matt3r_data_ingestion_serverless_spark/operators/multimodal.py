@@ -100,6 +100,52 @@ def frame_features(df: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
     return df.mapInPandas(gen, FRAME_SCHEMA)
 
 
+RESIZE_W, RESIZE_H = 8, 4  # thumbnail grid (stand-in for pixel dims)
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("thumb_mean", T.DoubleType()),
+        T.StructField("thumb_hash", T.StringType()),
+    ]
+)
+
+
+def resize_thumbnails(df: DataFrame, w: int = RESIZE_W, h: int = RESIZE_H) -> DataFrame:
+    """(doc_id, blob) → fixed-grid 'thumbnail': sample w·h bytes at
+    uniform stride (index floor(i·n/(w·h))), the shape a real
+    decode→resize pass produces. Real pixel decode belongs at
+    decode_image's seam; the gather, grid shape, per-thumb stats, and
+    content hash are the real plumbing.
+
+    Scale: map-only (no shuffle); output is w·h bytes per blob
+    regardless of input size — the constant-size derivative a
+    multimodal pipeline stores next to the full-resolution object."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        k = w * h
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"doc_id": [], "n_bytes": [], "thumb_mean": [], "thumb_hash": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                a = np.frombuffer(bytes(blob), dtype=np.uint8)
+                idx = (np.arange(k) * len(a)) // k
+                thumb = a[idx]
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(a))
+                out["thumb_mean"].append(round(float(thumb.mean()), 6))
+                out["thumb_hash"].append(hashlib.md5(thumb.tobytes()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, RESIZE_SCHEMA)
+
+
 AUDIO_CHUNK_BYTES = 256  # stand-in for a fixed-duration PCM window
 
 CHUNK_SCHEMA = T.StructType(

@@ -1042,3 +1042,37 @@ def ns_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.greatest("cont_ab", "cont_ba") >= CONTAINMENT_T)
     )
+
+
+def _resize_sql() -> str:
+    k = multimodal.RESIZE_W * multimodal.RESIZE_H
+    pick = f"ch[(i * n) // {k} + 1]"
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, '') AS ch, length(text) AS n
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       round(list_sum(list_transform(range(0, {k}),
+             i -> unicode({pick})))::DOUBLE / {k}, 6) AS thumb_mean,
+       md5(array_to_string(list_transform(range(0, {k}), i -> {pick}), ''))
+         AS thumb_hash
+FROM t
+"""
+
+
+@register("ns_multimodal_resize", sql=_resize_sql())
+def ns_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail over the binary column: uniform-stride gather to
+    a fixed {w}×{h} grid via mapInPandas
+    (operators/multimodal.py:resize_thumbnails) — completing the
+    multimodal op set (decode stub, frame-sample, feature-extract,
+    audio-chunk, resize). ASCII payloads again make the gather
+    SQL-replayable byte-for-byte: the oracle recomputes the same
+    strided pick, the same exact /{k} mean, and the md5 of the same
+    byte string."""
+    docs = multimodal.with_blob(
+        spread(load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+    )
+    return multimodal.resize_thumbnails(docs.select("doc_id", "blob"))
