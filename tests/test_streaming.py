@@ -403,3 +403,29 @@ def test_chained_stateful_operators_one_stream(spark, dirs):
     # 6 unique zero samples in session 1 (duplicate absorbed by the
     # dedupe stage, NOT counted twice), 1 in session 2
     assert [r.n_samples for r in rows] == [1, 6]
+
+
+def test_stream_static_dimension_join(spark, dirs):
+    """Stream-static join: the live signal stream enriched against a
+    static dimension table (device registry). The static side is
+    re-planned per micro-batch — no state store involved — and rows
+    without a registry entry pass through null-extended (left join)."""
+    _write_raw(dirs, "s1.log", [(0, 599, bytes([0x00, 0x40, 0x1F]))], device="dev0")
+    _write_raw(dirs, "s2.log", [(0, 599, bytes([0x00, 0x40, 0x1F]))], device="dev1")
+    registry = spark.createDataFrame(
+        [("dev0", "fleet-a")], "device_id string, fleet string"
+    )
+    signals = cs.read_canserver_stream(spark, dirs["raw"])
+    enriched = signals.filter(signals.channel == "speed").join(
+        registry, "device_id", "left"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("ss_static")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r.device_id, r.fleet) for r in spark.sql("SELECT device_id, fleet FROM ss_static").collect()}
+    assert rows == {("dev0", "fleet-a"), ("dev1", None)}
