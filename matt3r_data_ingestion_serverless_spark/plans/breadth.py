@@ -770,3 +770,53 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+WEIGHTED_SAMPLE_K = 50
+_U_DENOM = float(1 << 60)  # md5_hash64 yields 60-bit ints
+
+
+@register(
+    "ns_sample_weighted",
+    sql=f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         round(pow(({md5_hash64_sql("cast(doc_id AS VARCHAR) || 'wsalt'")} + 1)
+                   / {_U_DENOM}, 1.0 / n_chars), 9) AS k
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY k DESC, doc_id) AS rnk
+  FROM keyed
+)
+SELECT doc_id, n_chars, rnk FROM ranked WHERE rnk <= {WEIGHTED_SAMPLE_K}
+""",
+)
+def ns_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    key = u^(1/w) with u an md5-derived uniform and w = n_chars; the
+    top-k keys ARE a w-weighted sample. Deterministic — no RNG state,
+    reproducible across engines and re-runs, re-drawable with a new
+    salt — the weighted counterpart of ns_sample_hash_bucket.
+
+    Scale: one map-side key computation + a top-k (WindowGroupLimit
+    keeps only k rows per partition before the single-partition final
+    rank — no global sort of the corpus). Keys round to 9 dp with a
+    doc_id tiebreak so cross-engine pow() ulps can't reorder the
+    boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (md5_hash64(F.concat(F.col("doc_id").cast("string"), F.lit("wsalt"))) + 1) / F.lit(
+        _U_DENOM
+    )
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.pow(u, 1.0 / F.col("n_chars")), 9).alias("k"),
+    )
+    w = Window.orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= WEIGHTED_SAMPLE_K)
+        .select("doc_id", "n_chars", "rnk")
+    )
