@@ -820,3 +820,110 @@ def ns_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= WEIGHTED_SAMPLE_K)
         .select("doc_id", "n_chars", "rnk")
     )
+
+
+@register(
+    "benford_digit_audit",
+    sql="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM lineitem WHERE l_extendedprice >= 1
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d)
+SELECT digit,
+       count(*) AS n_obs,
+       round(count(*) / n.n, 6) AS observed_p,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+       round(abs(count(*) / n.n - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+FROM d CROSS JOIN n
+GROUP BY digit, n.n
+""",
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over monetary values — the
+    fraud/synthetic-data smell test: natural multiplicative quantities
+    follow P(d) = log10(1 + 1/d); a flat or spiked digit histogram
+    flags generated or truncated data (this corpus IS synthetic, and
+    the audit shows exactly how).
+
+    Scale: one scan, one 9-group hash agg; the total-count cross join
+    broadcasts a single row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") >= 1)
+    d = li.select(
+        F.substring(
+            F.floor(F.col("l_extendedprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    n = d.agg(F.count("*").cast("double").alias("n"))
+    obs = F.col("cnt") / F.col("n")
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.col("cnt").alias("n_obs"),
+            F.round(obs, 6).alias("observed_p"),
+            F.round(benford, 6).alias("benford_p"),
+            F.round(F.abs(obs - benford), 6).alias("abs_dev"),
+        )
+    )
+
+
+@register(
+    "ri_orphan_audit",
+    sql="""
+SELECT 'lineitem->orders' AS fk_edge,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+         AS n_orphans,
+       (SELECT count(*) FROM lineitem) AS n_rows
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+       (SELECT count(*) FROM orders)
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+       (SELECT count(*) FROM lineitem)
+""",
+)
+def ri_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts along every foreign-key
+    edge of the star schema (left-anti joins) — the load-time gate that
+    catches partial ingests and broken upstream extracts before a join
+    silently drops rows.
+
+    Scale: each edge is one broadcast left join counted with a
+    conditional aggregate (match-is-null ⇒ orphan) — one pass per fact
+    scan, no wide shuffle, no driver-side counting; the three 1-row
+    results union into the report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+
+    def edge(name, fact, dim, fk, pk):
+        probe = dim.select(F.col(pk).alias("__pk"))
+        return (
+            fact.join(F.broadcast(probe), fact[fk] == probe["__pk"], "left")
+            .agg(
+                F.lit(name).alias("fk_edge"),
+                F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+
+    return (
+        edge("lineitem->orders", li, o, "l_orderkey", "o_orderkey")
+        .unionByName(edge("orders->customer", o, c, "o_custkey", "c_custkey"))
+        .unionByName(edge("lineitem->part", li, p, "l_partkey", "p_partkey"))
+    )
