@@ -297,3 +297,114 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+@register(
+    "ts_seasonal_baseline",
+    # determinism: the 2-decimal `value` column aggregates as EXACT
+    # integer cents (associative — immune to engine summation order and
+    # partitioning), and each mean is ONE correctly-rounded IEEE
+    # division of two exact integers — identical doubles on every
+    # engine. Unrounded double sums differ by final-ulp between engines
+    # (DuckDB's avg is numerically stabilized) and money-grained means
+    # land on .5 boundaries at the 6th digit constantly.
+    sql="""
+WITH c AS (
+  SELECT user_id, CAST(hour(ts) AS INT) AS hod,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+base AS (
+  SELECT user_id, hod,
+         CAST(sum(cents) AS DOUBLE) / (100.0 * count(*)) AS hm,
+         count(*) AS n_obs
+  FROM c GROUP BY user_id, hod
+),
+g AS (
+  SELECT user_id, CAST(sum(cents) AS DOUBLE) / (100.0 * count(*)) AS ov
+  FROM c GROUP BY user_id
+),
+j AS (
+  SELECT b.user_id, b.hod, b.n_obs,
+         round(b.hm, 6) AS hm6, round(g.ov, 6) AS ov6
+  FROM base b JOIN g ON b.user_id = g.user_id
+)
+SELECT user_id, hod, hm6 AS hod_mean, n_obs, ov6 AS overall_mean,
+       round(hm6 - ov6, 6) AS seasonal_offset
+FROM j
+""",
+)
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline per device: the diurnal profile
+    (mean per hour-of-day) and its offset from the device's overall
+    mean — the decomposition step before anomaly thresholds
+    (ts_anomaly_zscore) so a midnight lull isn't flagged as a fault.
+
+    Determinism: means aggregate the 2-decimal values as EXACT integer
+    cents (associative — immune to summation order, partitioning, and
+    engine-internal compensated summation), then divide once — a
+    correctly-rounded IEEE op that lands on the identical double
+    everywhere. This is the repo's money rule (SCALE.md §7) applied to
+    a mean.
+
+    Scale: two hash aggs on the same user_id key — AQE reuses the
+    exchange for the join; output is |users|×24 rows regardless of
+    history length."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    c = e.select("user_id", F.hour("ts").cast("int").alias("hod"), cents.alias("cents"))
+    base = c.groupBy("user_id", "hod").agg(
+        (F.sum("cents").cast("double") / (100.0 * F.count("*"))).alias("hm"),
+        F.count("*").alias("n_obs"),
+    )
+    overall = c.groupBy("user_id").agg(
+        (F.sum("cents").cast("double") / (100.0 * F.count("*"))).alias("ov")
+    )
+    hm6, ov6 = F.round("hm", 6), F.round("ov", 6)
+    return base.join(overall, "user_id").select(
+        "user_id",
+        "hod",
+        hm6.alias("hod_mean"),
+        "n_obs",
+        ov6.alias("overall_mean"),
+        F.round(hm6 - ov6, 6).alias("seasonal_offset"),
+    )
+
+
+@register(
+    "median_mad_by_type",
+    sql="""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS ad, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+)
+SELECT event_type,
+       round(max(med), 6) AS median_value,
+       round(median(ad), 6) AS mad,
+       count(*) AS n
+FROM dev GROUP BY event_type
+""",
+)
+def median_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/scale per event type: median + MAD (median
+    absolute deviation) — the outlier-resistant alternative to
+    mean/stddev for telemetry channels with fat tails; MAD needs a
+    second pass over deviations from the first-pass median.
+
+    Scale: two chained aggregations on the same key (the median join
+    broadcasts — one row per type); exact medians sort within groups,
+    so at extreme group sizes swap in approx_percentile(0.5) — same
+    shape, bounded memory (the approx twin of quantiles_by_flag)."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("ad"), "med"
+    )
+    return dev.groupBy("event_type").agg(
+        F.round(F.max("med"), 6).alias("median_value"),
+        F.round(F.median("ad"), 6).alias("mad"),
+        F.count("*").alias("n"),
+    )
