@@ -20,7 +20,12 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from matt3r_data_ingestion_serverless_spark.sources.canserver import (
     SIGNAL_SCHEMA,
@@ -74,6 +79,53 @@ class CanServerReader(DataSourceReader):
             yield (dev, pd.Timestamp(int(ts_us), unit="us", tz="UTC"), channel, values, state)
 
 
+class CanServerStreamReader(DataSourceStreamReader):
+    """Micro-batch stream reader for the same format:
+    ``spark.readStream.format("canserver").load(dir)``.
+
+    Offset model: the sorted file listing's length. Log producers name
+    files monotonically (the reference's hourly object keys,
+    parse_canserver_filtered_log.py:328), so new files always extend
+    the sorted order and ``{"idx": n}`` is a total progress marker —
+    the same append-only contract Spark's own file source keeps via its
+    listing log, without the driver-memory file map. Each batch's
+    partitions are the newly-appeared files — one per file, decoded
+    executor-side exactly like the batch reader."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("canserver source requires a path: .load('<dir>')")
+        self.device_from = options.get("device_from", "parent")
+
+    def _listing(self) -> list[str]:
+        if os.path.isfile(self.path):
+            return [self.path]
+        return sorted(
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(self.path)
+            for f in files
+        )
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:
+        return {"idx": len(self._listing())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._listing()[start["idx"] : end["idx"]]
+        return [CanServerFilePartition(p) for p in files]
+
+    def read(self, partition: CanServerFilePartition) -> Iterator[tuple]:
+        return CanServerReader(
+            {"path": partition.path, "device_from": self.device_from}
+        ).read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is the checkpointed offset; nothing to clean
+
+
 class CanServerDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -84,6 +136,9 @@ class CanServerDataSource(DataSource):
 
     def reader(self, schema) -> CanServerReader:
         return CanServerReader(self.options)
+
+    def streamReader(self, schema) -> CanServerStreamReader:
+        return CanServerStreamReader(self.options)
 
 
 def register(spark) -> None:

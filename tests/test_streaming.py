@@ -429,3 +429,41 @@ def test_stream_static_dimension_join(spark, dirs):
     q.awaitTermination()
     rows = {(r.device_id, r.fleet) for r in spark.sql("SELECT device_id, fleet FROM ss_static").collect()}
     assert rows == {("dev0", "fleet-a"), ("dev1", None)}
+
+
+def test_python_datasource_stream_reader(spark, dirs, tmp_path):
+    """The custom format streams too: readStream.format('canserver')
+    discovers newly-arrived log files across micro-batches via the
+    sorted-listing offset (append-only naming contract)."""
+    from matt3r_data_ingestion_serverless_spark.sources import canserver_datasource as ds
+
+    ds.register(spark)
+    _write_raw(dirs, "a1.log", [(0, 599, bytes([0x00, 0x40, 0x1F]))])
+    stream = spark.readStream.format("canserver").load(dirs["raw"])
+    sink = str(tmp_path / "pyds_sink")
+    ckpt = str(tmp_path / "pyds_ckpt")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(sink).count() == 1
+
+    # a second file arrives; a fresh drain picks up ONLY the new file
+    _write_raw(dirs, "a2.log", [(5, 599, bytes([0x00, 0x40, 0x1F])), (9, 921, b"\x03")])
+    q = (
+        spark.readStream.format("canserver")
+        .load(dirs["raw"])
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(sink)
+    assert out.count() == 3
+    assert set(out.select("channel").distinct().toPandas()["channel"]) == {"speed", "ap_status"}
