@@ -927,3 +927,72 @@ def ri_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edge("orders->customer", o, c, "o_custkey", "c_custkey"))
         .unionByName(edge("lineitem->part", li, p, "l_partkey", "p_partkey"))
     )
+
+
+@register(
+    "equidepth_histogram",
+    sql="""
+WITH b AS (
+  SELECT l_extendedprice AS v,
+         ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS bin
+  FROM lineitem
+)
+SELECT bin, count(*) AS n,
+       round(min(v), 6) AS lo, round(max(v), 6) AS hi
+FROM b GROUP BY bin
+""",
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram via ntile: 10 bins of equal row
+    count with their value ranges — the optimizer-statistics shape
+    (range-partition boundaries, CBO histograms) exposed as a query;
+    complements the fixed-width `value_histogram`.
+
+    Scale: one global sort feeds ntile. Exact equi-depth is what range
+    partitioning already computes via sampling; for a statistics pass
+    prefer approx_percentile boundaries (no sort) and count between
+    them — same table, two narrow passes. Deterministic: total order
+    includes the row key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    b = li.select(F.col("l_extendedprice").alias("v"), F.ntile(10).over(w).alias("bin"))
+    return b.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("v"), 6).alias("lo"),
+        F.round(F.max("v"), 6).alias("hi"),
+    )
+
+
+@register(
+    "percentile_disc_by_status",
+    sql="""
+SELECT o_orderstatus,
+       round(quantile_disc(o_totalprice, 0.25), 6) AS p25,
+       round(quantile_disc(o_totalprice, 0.5), 6) AS p50,
+       round(quantile_disc(o_totalprice, 0.75), 6) AS p75,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def percentile_disc_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (SQL:2016 percentile_disc WITHIN GROUP):
+    the returned value is an ACTUAL member of the group — the right
+    quantile for latencies/prices where an interpolated midpoint is a
+    value no row ever had (percentile_cont's `quantiles_by_flag` is
+    the interpolating twin).
+
+    Scale: per-group sort bounded by group size; for unbounded groups
+    the approx sketch path applies unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_pd")
+    return spark.sql(
+        """
+SELECT o_orderstatus,
+       round(percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p25,
+       round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice), 6) AS p50,
+       round(percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p75,
+       count(*) AS n
+FROM orders_pd GROUP BY o_orderstatus
+"""
+    )
