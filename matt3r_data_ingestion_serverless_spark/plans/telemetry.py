@@ -801,3 +801,54 @@ def j1_streamed_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_distinct_events"))
     )
+
+
+@register(
+    "ns_streamed_doc_quality",
+    sql="""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+       round(avg(length(text)), 6) AS avg_chars
+FROM documents GROUP BY source
+""",
+)
+def ns_streamed_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation surface through the STREAMING engine: the documents
+    corpus replayed as a file stream, per-source token mass and size
+    aggregated in complete mode — the shape of a live ingest feed
+    (crawler output landing continuously) feeding the same quality
+    dashboards the batch queries serve. Fifth streamed gate entry, and
+    the first over the text corpus rather than telemetry events.
+
+    Scale: tokenization is per-row inside the micro-batch scan; state
+    is one row per source. In production this runs in append/update
+    mode with a watermark on ingest time; complete mode here lets the
+    closed replay be graded whole."""
+    import uuid
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = stream.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.lower(F.col("text")), " "))).cast("long").alias(
+            "total_tokens"
+        ),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+    )
+    sink = f"doc_quality_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return spark.table(sink)
