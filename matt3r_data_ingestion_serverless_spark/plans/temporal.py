@@ -408,3 +408,65 @@ def median_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("ad"), 6).alias("mad"),
         F.count("*").alias("n"),
     )
+
+
+_SEN_MAX_USER = 300  # bound the pairwise oracle at correctness SF
+
+
+@register(
+    "ts_theilsen_trend",
+    sql=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, value AS v
+  FROM events WHERE user_id < {_SEN_MAX_USER}
+),
+p AS (
+  SELECT a.user_id, (b.v - a.v) / ((b.t - a.t) / 3.6e9) AS s
+  FROM e a JOIN e b ON a.user_id = b.user_id AND b.t > a.t
+)
+SELECT p.user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(median(p.s), 6) AS sen_slope_per_hour
+FROM p GROUP BY p.user_id
+""",
+)
+def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per device: the median of all pairwise
+    slopes — the outlier-proof alternative to OLS (regr_slope in
+    regression_aggregates) for drifting sensors, and the engine's one
+    BATCH `applyInPandas` operator (U2's grouped-map form): the
+    pairwise slope matrix is genuinely vectorized-pandas-shaped work.
+
+    Cross-engine exactness: every slope is ONE IEEE division of
+    identical doubles, and median picks/averages actual elements — no
+    accumulation order anywhere, so the pandas path and the oracle's
+    pairwise-join path agree bit-for-bit before rounding.
+
+    Scale: per-group O(n²) pairs — correct tool for per-device series
+    (thousands of samples), not for one giant series; groups hash
+    across executors, Arrow moves each group once, nothing collects."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < _SEN_MAX_USER)
+    src = e.select("user_id", F.unix_micros("ts").alias("t"), F.col("value").alias("v"))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        t = pdf["t"].to_numpy(dtype=np.float64)
+        v = pdf["v"].to_numpy(dtype=np.float64)
+        dt = (t[None, :] - t[:, None]) / 3.6e9  # hours
+        dv = v[None, :] - v[:, None]
+        mask = dt > 0
+        slopes = dv[mask] / dt[mask]
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_pairs": [int(mask.sum())],
+                "sen_slope_per_hour": [round(float(np.median(slopes)), 6)],
+            }
+        )
+
+    return src.groupBy("user_id").applyInPandas(
+        fit, "user_id long, n_pairs long, sen_slope_per_hour double"
+    )
