@@ -65,3 +65,34 @@ def test_csv_schema_applied_not_inferred(spark, events, tmp_path):
     events.write.mode("overwrite").option("header", True).csv(path)
     back = spark.read.option("header", True).schema(events.schema).csv(path)
     assert dict(back.dtypes) == dict(events.dtypes)
+
+
+def test_dynamic_partition_overwrite(spark, events, tmp_path):
+    """Dynamic partitionOverwriteMode: rewriting one date's data must
+    leave sibling partitions untouched (static mode would truncate the
+    whole table) — the partition-scoped rewrite contract the upsert
+    sink (operators/merge.py) relies on."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "dyn_overwrite")
+    part = events.withColumn(
+        "day", F.to_date(F.timestamp_micros(F.col("ts_us")))
+    )
+    part.write.partitionBy("day").mode("overwrite").parquet(path)
+    total = spark.read.parquet(path).count()
+    days = [r.day for r in spark.read.parquet(path).select("day").distinct().collect()]
+    assert len(days) >= 2
+
+    target_day = sorted(days)[0]
+    one_day = part.filter(F.col("day") == F.lit(target_day))
+    n_day = one_day.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # rewrite JUST that partition (e.g. a corrected re-ingest)
+        one_day.write.partitionBy("day").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = spark.read.parquet(path)
+    assert after.count() == total  # siblings intact, target replaced 1:1
+    assert after.filter(F.col("day") == F.lit(target_day)).count() == n_day
