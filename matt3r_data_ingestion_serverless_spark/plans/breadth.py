@@ -354,7 +354,8 @@ WITH slid AS (
 SELECT epoch_us(w_start) AS w_start_us,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       round(avg(value), 6) AS avg_value
+       round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+             / (100.0 * count(*)), 6) AS avg_value
 FROM slid
 WHERE w_start >= (SELECT time_bucket(INTERVAL 15 MINUTE, min(ts)) FROM events)
 GROUP BY w_start
@@ -372,12 +373,19 @@ def sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial leading windows, the clip makes the contract explicit."""
     events = load_table(spark, sf_dir, "events")
     lo = events.agg(F.min("ts").alias("mn"))
+    # avg aggregates exact integer cents (associative) and divides once
+    # — the money-mean determinism rule (SCALE.md §7): unrounded double
+    # means differ by summation-order ulps across engines while landing
+    # on .5 rounding boundaries constantly (caught at sf0.1)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return (
         events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
             F.count_distinct("user_id").alias("n_users"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(
+                F.sum(cents).cast("double") / (100.0 * F.count("*")), 6
+            ).alias("avg_value"),
         )
         .join(
             F.broadcast(lo),

@@ -55,10 +55,19 @@ def _suppliers_in_region(spark: SparkSession, sf_dir: str, r_name: str) -> DataF
 
 @register(
     "q2_min_cost_supplier",
+    # unit_price rounds via the explicit floor formula ON BOTH SIDES,
+    # not round(): quotients land near .5 at the 7th digit whenever
+    # quantity is a power of two, and there Spark's round() (rounds the
+    # SHORTEST DECIMAL repr via BigDecimal.valueOf) and DuckDB's
+    # (rounds the BINARY value) disagree. One shared formula = one
+    # IEEE evaluation = identical everywhere (caught by the sf0.1
+    # parity sweep).
     sql="""
 WITH offers AS (
   SELECT DISTINCT l_partkey, l_suppkey,
-         round(CAST(l_extendedprice AS DOUBLE) / l_quantity, 6) AS unit_price
+         sign(CAST(l_extendedprice AS DOUBLE) / l_quantity)
+           * floor(abs(CAST(l_extendedprice AS DOUBLE) / l_quantity) * 1e6 + 0.5)
+           / 1e6 AS unit_price
   FROM lineitem
   WHERE l_suppkey IN (
     SELECT s_suppkey FROM supplier JOIN nation ON n_nationkey = s_nationkey
@@ -82,12 +91,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the offers already shuffled on; region pruning applies BEFORE the
     aggregate so the min is computed only over eligible suppliers."""
     eur = _suppliers_in_region(spark, sf_dir, "EUROPE")
+    q = F.col("l_extendedprice").cast("double") / F.col("l_quantity")
+    up = F.signum(q) * F.floor(F.abs(q) * 1e6 + 0.5) / 1e6
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
-        F.round(F.col("l_extendedprice").cast("double") / F.col("l_quantity"), 6).alias(
-            "unit_price"
-        ),
+        up.alias("unit_price"),
     )
     offers = (
         li.join(F.broadcast(eur.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"), "left_semi")
