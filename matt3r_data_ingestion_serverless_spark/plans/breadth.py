@@ -1004,3 +1004,37 @@ SELECT o_orderstatus,
 FROM orders_pd GROUP BY o_orderstatus
 """
     )
+
+
+@register(
+    "topk_with_ties",
+    sql="""
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS price, rnk
+FROM r WHERE rnk <= 2
+""",
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES per group (rank, not row_number): every order
+    tied at the k-th price survives — the SQL:2008 FETCH WITH TIES
+    semantics, vs topk_per_group's exactly-k row_number cut.
+
+    Scale: rank() still plans a WindowGroupLimit (rank-based limits
+    push the k-filter below the exchange since Spark 3.5), so only
+    candidate rows shuffle — same plan property the strict top-k
+    enjoys."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("price"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 2)
+    )

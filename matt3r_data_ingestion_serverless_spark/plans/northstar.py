@@ -1076,3 +1076,39 @@ def ns_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
     )
     return multimodal.resize_thumbnails(docs.select("doc_id", "blob"))
+
+
+@register(
+    "ns_langid_confusion",
+    sql=f"""
+WITH pred AS (
+  SELECT lang AS labeled,
+         {text.predict_lang_sql(text.tokens_sql('text'))} AS predicted
+  FROM documents
+)
+SELECT labeled, predicted, count(*) AS n
+FROM pred GROUP BY labeled, predicted
+""",
+)
+def ns_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the n-gram/stopword classifier
+    (functions/text.py:predict_lang, used row-wise by ns_lang_id)
+    evaluated against the corpus labels — the model-eval query a
+    curation pipeline runs before trusting a filter.
+
+    Scale: classification is a per-row when-chain over precomputed
+    stopword-hit counts (argmax_lang keeps the expression linear);
+    the matrix agg is |langs|² rows."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = text.tokens(F.col("text"))
+    hits = [(lang, text.stopword_hits(toks, lang)) for lang in text.LANGS]
+    staged = docs.select(
+        F.col("lang").alias("labeled"),
+        *[h.alias(f"_h_{lang}") for lang, h in hits],
+    )
+    pred = text.argmax_lang([(lang, F.col(f"_h_{lang}")) for lang in text.LANGS])
+    return (
+        staged.select("labeled", pred.alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count("*").alias("n"))
+    )

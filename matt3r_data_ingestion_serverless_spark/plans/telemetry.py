@@ -852,3 +852,63 @@ def ns_streamed_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .awaitTermination()
         )
     return spark.table(sink)
+
+
+@register(
+    "funnel_conversion",
+    sql="""
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT v.user_id, v.t1, min(e.ts) AS t2
+      FROM v JOIN events e ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY v.user_id, v.t1),
+p AS (SELECT c.user_id, c.t1, c.t2, min(e.ts) AS t3
+      FROM c JOIN events e ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY c.user_id, c.t1, c.t2)
+SELECT 'view' AS stage, (SELECT count(*) FROM v) AS n_users
+UNION ALL SELECT 'view>click', (SELECT count(*) FROM c)
+UNION ALL SELECT 'view>click>purchase', (SELECT count(*) FROM p)
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users reaching view → click-after-view →
+    purchase-after-click (strict event-time ordering, the product-
+    analytics conversion query). Each stage anchors on the PREVIOUS
+    stage's earliest qualifying time, not mere event presence.
+
+    Scale: three aggregates all keyed on user_id — one shuffle
+    partitioning reused down the chain; each stage's table shrinks
+    monotonically, and the stage joins are user-keyed (no time-range
+    shuffle). The windowed form (min-over-filtered-window) is a
+    drop-in when stages grow past a broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(name, df):
+        return df.agg(F.lit(name).alias("stage"), F.count("*").alias("n_users"))
+
+    return (
+        stage("view", v)
+        .unionByName(stage("view>click", c))
+        .unionByName(stage("view>click>purchase", p))
+    )
