@@ -912,3 +912,44 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("view>click", c))
         .unionByName(stage("view>click>purchase", p))
     )
+
+
+@register(
+    "cohort_retention",
+    sql="""
+WITH fw AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+)
+SELECT strftime(fw.cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', fw.cohort, act.wk) / 7 AS INT) AS week_offset,
+       count(DISTINCT act.user_id) AS n_active
+FROM act JOIN fw ON act.user_id = fw.user_id
+GROUP BY fw.cohort, date_diff('day', fw.cohort, act.wk) / 7
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention grid: users grouped by first-seen week,
+    counted active per week offset — the canonical retention triangle.
+    Week offsets derive from day differences of Monday-truncated dates
+    (÷7 is exact), sidestepping engine week-diff boundary conventions.
+
+    Scale: two user-keyed aggregates + one user-keyed join — a single
+    hash partitioning serves all three; the grid is |cohorts|×|weeks|
+    regardless of event volume."""
+    e = load_table(spark, sf_dir, "events")
+    fw = e.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    act = e.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk")).distinct()
+    j = act.join(fw, "user_id")
+    off = (F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("int")
+    return (
+        j.select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            off.alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
