@@ -1038,3 +1038,129 @@ def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 2)
     )
+
+
+@register(
+    "dow_hour_heatmap",
+    sql="""
+SELECT CAST(isodow(ts) AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hod,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY isodow(ts), hour(ts)
+""",
+)
+def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap (ISO dow, Monday=1) —
+    the ops-dashboard matrix behind load forecasting and maintenance
+    windows. Pure counts: no float surface at all.
+
+    Scale: one hash agg over a 7×24-key space — partials collapse
+    essentially everything map-side; output is ≤168 rows at any data
+    volume."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.dayofweek("ts").alias("_dw"),  # Sunday=1 in Spark
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        # Spark dayofweek: Sunday=1..Saturday=7 → ISO Monday=1..Sunday=7
+        .select(
+            (((F.col("_dw") + 5) % 7) + 1).cast("int").alias("dow"),
+            "hod",
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+@register(
+    "monthly_yoy_growth",
+    sql="""
+WITH m AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS mo,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+),
+l AS (
+  SELECT y, mo, revenue,
+         lag(revenue, 12) OVER (ORDER BY y, mo) AS prev_year
+  FROM m
+)
+SELECT y, mo, revenue, prev_year,
+       round((revenue - prev_year) / prev_year, 6) AS yoy_growth
+FROM l WHERE prev_year IS NOT NULL
+""",
+)
+def monthly_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth: DECIMAL-exact monthly
+    sums, then lag(12) over the month series — the standard financial
+    comparison. The growth ratio is one IEEE division of two
+    exact-decimal-derived doubles, so it is engine- and
+    partitioning-deterministic.
+
+    Scale: months are tiny post-agg (the window runs on |months| rows);
+    the only wide work is the monthly hash agg with map-side partials."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue")
+    )
+    w = Window.orderBy("y", "mo")
+    l = m.withColumn("prev_year", F.lag("revenue", 12).over(w))
+    return l.filter(F.col("prev_year").isNotNull()).select(
+        "y",
+        "mo",
+        "revenue",
+        "prev_year",
+        F.round((F.col("revenue") - F.col("prev_year")) / F.col("prev_year"), 6).alias(
+            "yoy_growth"
+        ),
+    )
+
+
+@register(
+    "brand_share_of_total",
+    sql="""
+WITH b AS (
+  SELECT p_brand,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, revenue,
+       round(revenue / sum(revenue) OVER (), 6) AS share
+FROM b
+""",
+)
+def brand_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total by brand: per-brand DECIMAL-exact revenue over
+    an empty-frame window total — the share-of-wallet report shape.
+    The share is one division of exact-decimal-derived doubles.
+
+    Scale: the unpartitioned total-window runs on |brands| post-agg
+    rows (a one-row exchange), never on the fact table; the fact side
+    pays exactly one hash agg behind a broadcast part join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    b = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy()
+    return b.select(
+        "p_brand",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    )
