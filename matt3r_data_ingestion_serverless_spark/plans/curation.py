@@ -792,3 +792,34 @@ def ns_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pmi, 6).alias("pmi"),
         )
     )
+
+
+def _cluster_hist_sql() -> str:
+    return f"""
+{_dup_clusters_ctes()},
+cl AS (
+  SELECT cluster_id, count(*) AS cluster_size
+  FROM lbl GROUP BY cluster_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       count(*) AS n_clusters
+FROM cl GROUP BY cluster_size
+"""
+
+
+@register("cluster_size_histogram", sql=_cluster_hist_sql())
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of duplicate-cluster sizes — the dedup-health
+    metric: a heavy tail here means boilerplate/template contamination
+    (huge clusters), a flat 2-spike means true near-dup pairs. Pure
+    counts over the connected-components labels.
+
+    Scale: two tiny aggs on the pairs-sized label table; the corpus
+    never re-enters."""
+    from matt3r_data_ingestion_serverless_spark.plans.curation import ns_dup_clusters
+
+    labels = ns_dup_clusters(spark, sf_dir)
+    cl = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return cl.groupBy(F.col("cluster_size").cast("long").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters")
+    )

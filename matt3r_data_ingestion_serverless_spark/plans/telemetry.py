@@ -953,3 +953,44 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "interarrival_stats",
+    sql="""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_gaps,
+       min(gap_us) AS min_gap_us,
+       max(gap_us) AS max_gap_us,
+       round(median(gap_us), 6) AS median_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id
+""",
+)
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-device inter-arrival gap statistics — the sampling-health
+    check behind the reference's 1.2 s reorder buffer sizing
+    (parse_canserver_filtered_log.py:117): min/median/max of
+    consecutive-event gaps tells you the real clock cadence and the
+    outage tail. Gaps are exact integer µs; the median of integers
+    interpolates at worst to an exact .5 — bit-stable everywhere.
+
+    Scale: one window + one agg on the same user_id partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = e.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.round(F.median("gap_us"), 6).alias("median_gap_us"),
+    )
