@@ -1164,3 +1164,67 @@ def brand_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
     )
+
+
+@register(
+    "abc_pareto_classification",
+    sql="""
+WITH r AS (
+  SELECT p_brand,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_brand
+),
+c AS (
+  SELECT p_brand, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, p_brand
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(revenue) OVER () AS total
+  FROM r
+)
+SELECT p_brand, revenue,
+       round(cum / total, 6) AS cum_share,
+       CASE WHEN cum / total <= 0.8 THEN 'A'
+            WHEN cum / total <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+""",
+)
+def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification: brands ranked by revenue, classed by
+    cumulative share (A ≤ 80%, B ≤ 95%, C rest) — the 80/20 inventory
+    segmentation. Sums are DECIMAL-exact; the running total adds exact
+    doubles in ONE defined order (the window's), so cum/total is
+    engine-deterministic.
+
+    Scale: all windows run on the |brands|-row post-agg table; the
+    fact table pays one hash agg behind a broadcast join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    r = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    wc = Window.orderBy(F.desc("revenue"), F.asc("p_brand")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    c = r.select(
+        "p_brand",
+        "revenue",
+        (F.sum("revenue").over(wc) / F.sum("revenue").over(wt)).alias("cs"),
+    )
+    return c.select(
+        "p_brand",
+        "revenue",
+        F.round("cs", 6).alias("cum_share"),
+        F.when(F.col("cs") <= 0.8, "A")
+        .when(F.col("cs") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -994,3 +994,34 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").alias("max_gap_us"),
         F.round(F.median("gap_us"), 6).alias("median_gap_us"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    sql="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order state-transition matrix over the event stream — W1's
+    lag-transition detection generalized from one watched edge
+    (AP engage/disengage, infer_autopilot_states.py:78-88) to the full
+    |states|² Markov count matrix. Pure counts.
+
+    Scale: one window on the user partitioning, one hash agg over a
+    |states|²-key space — output is constant-size at any volume."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return s.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
