@@ -470,3 +470,63 @@ def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.groupBy("user_id").applyInPandas(
         fit, "user_id long, n_pairs long, sen_slope_per_hour double"
     )
+
+
+@register(
+    "peak_concurrency_sweep",
+    sql="""
+WITH iv AS (
+  SELECT ts AS start_ts, ts + INTERVAL 15 MINUTE AS end_ts
+  FROM events WHERE event_type = 'purchase'
+),
+pts AS (
+  SELECT epoch_us(start_ts) AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT epoch_us(end_ts) AS t, -1 AS delta FROM iv
+),
+sweep AS (
+  SELECT t, delta,
+         sum(delta) OVER (ORDER BY t, delta ROWS UNBOUNDED PRECEDING)
+           AS concurrency
+  FROM pts
+)
+SELECT max(concurrency) AS peak_concurrency,
+       min(t) FILTER (WHERE concurrency =
+         (SELECT max(concurrency) FROM sweep)) AS first_peak_us,
+       CAST(count(*) AS BIGINT) AS n_boundary_events
+FROM sweep
+""",
+)
+def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: max simultaneously-open activity
+    intervals fleet-wide — the capacity-planning number (how many
+    vehicles upload at once). Interval edges become ±1 deltas; the
+    running sum over one time ordering IS the concurrency curve.
+    Half-open [start, end): at equal timestamps the −1 sorts first
+    (delta asc), so touching intervals don't double-count. Pure
+    integer math.
+
+    Scale: a global-ordering running sum — the same single-ordering
+    trade as ns_sequence_packing; at 100 TB sweep per shard (day/
+    region) first, then merge shard curves at their boundaries."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.filter(F.col("event_type") == "purchase").select(
+        F.unix_micros("ts").alias("s"),
+        F.unix_micros(F.col("ts") + F.expr("INTERVAL 15 MINUTE")).alias("t_end"),
+    )
+    pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.col("t_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    sweep = pts.select("t", "delta", F.sum("delta").over(w).alias("concurrency"))
+    peak = sweep.agg(F.max("concurrency").alias("pk"))
+    return (
+        sweep.crossJoin(F.broadcast(peak))
+        .agg(
+            F.max("concurrency").alias("peak_concurrency"),
+            F.min(F.when(F.col("concurrency") == F.col("pk"), F.col("t"))).alias(
+                "first_peak_us"
+            ),
+            F.count("*").alias("n_boundary_events"),
+        )
+    )
