@@ -21,5 +21,8 @@ from matt3r_data_ingestion_serverless_spark.plans import curation  # noqa: F401,
 from matt3r_data_ingestion_serverless_spark.plans import decision_support  # noqa: F401,E402
 from matt3r_data_ingestion_serverless_spark.plans import llmprep  # noqa: F401,E402
 from matt3r_data_ingestion_serverless_spark.plans import sql_surface  # noqa: F401,E402
+from matt3r_data_ingestion_serverless_spark.plans import lakehouse  # noqa: F401,E402
+from matt3r_data_ingestion_serverless_spark.plans import search  # noqa: F401,E402
+from matt3r_data_ingestion_serverless_spark.plans import breadth_r2  # noqa: F401,E402
 
 __all__ = ["QUERIES", "all_queries", "register"]
