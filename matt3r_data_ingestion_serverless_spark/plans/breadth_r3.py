@@ -15,6 +15,8 @@ the cross-engine oracle is bit-stable.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -852,4 +854,71 @@ def ns_lang_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "ns")
         .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"))
         .select("source", F.col("ns").cast("long").alias("n_docs"), "kl_nats")
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped-aggregate Pandas UDAF — the one UDF flavor the rest of the
+# registry doesn't exercise (scalar pandas_udf, mapInPandas,
+# applyInPandas, applyInPandasWithState, and a UDTF all appear elsewhere)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udaf_gini_by_type",
+    sql="""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE value > 0
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS i,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(cents) OVER (PARTITION BY event_type) AS tot
+  FROM c
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_values,
+       round(sum((2 * i - n - 1) * cents) / (1.0 * max(n) * max(tot)), 6) AS gini
+FROM r GROUP BY event_type
+""",
+)
+def udaf_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of spend per event type, computed by a
+    GROUPED-AGGREGATE pandas UDF (Series → scalar): each group's values
+    arrive as one Arrow batch and the sorted-index formula
+    Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) runs vectorized in numpy with an exact
+    int64 numerator — only the final division is float, so the 6-dp
+    round is stable against the oracle's window-function formulation.
+
+    Scale stance: a grouped-agg UDAF ships WHOLE groups to Python — the
+    right tool when the statistic needs the full sorted group (Gini,
+    trimmed means) and group sizes are bounded (here: rows per
+    event_type ≪ executor memory). For unbounded groups, decompose to
+    the window form the oracle uses instead. One shuffle on the group
+    key either way."""
+    @F.pandas_udf("double")
+    def _gini(v: pd.Series) -> float:
+        x = np.sort(v.to_numpy(np.int64))
+        n = len(x)
+        num = int(((2 * np.arange(1, n + 1, dtype=np.int64) - n - 1) * x).sum())
+        return num / (n * int(x.sum()))
+
+    # Spark disallows mixing a grouped-agg pandas UDF with JVM
+    # aggregates in one agg() — the count rides along as a second
+    # pandas aggregate (same Arrow batch, no extra pass).
+    @F.pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        return len(v)
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        e.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            _n(F.col("cents")).alias("n_values"),
+            F.round(_gini(F.col("cents")), 6).alias("gini"),
+        )
     )

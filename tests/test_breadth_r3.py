@@ -305,3 +305,28 @@ def test_lang_mix_kl_matches_python(spark):
         assert out[source].n_docs == ns
         assert abs(out[source].kl_nats - kl) < 1e-6
         assert out[source].kl_nats >= 0 or abs(out[source].kl_nats) < 1e-6
+
+
+def test_udaf_gini_matches_python(spark):
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r3 import (
+        udaf_gini_by_type,
+    )
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("value") > 0)
+        .select("event_type", "value")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r.event_type].append(round(r.value * 100))
+    out = {r.event_type: r for r in udaf_gini_by_type(spark, SF_SMOKE).collect()}
+    for et, vals in groups.items():
+        x = sorted(vals)
+        n = len(x)
+        num = sum((2 * (i + 1) - n - 1) * v for i, v in enumerate(x))
+        gini = num / (n * sum(x))
+        assert out[et].n_values == n
+        assert abs(out[et].gini - gini) < 1e-5
+        assert 0.0 <= out[et].gini < 1.0

@@ -149,3 +149,32 @@ def test_sequence_packing_single_sort(spark):
     plan = _plan(spark, "ns_sequence_packing")
     assert plan.count("Sort ") + plan.count("Sort\n") <= 2, plan  # window sort (+agg sort-agg if any)
     assert "Window" in plan, plan
+
+
+def test_surprisal_vocab_broadcast(spark):
+    """The unigram vocabulary must broadcast back onto the token stream
+    — a shuffled vocab join would re-shuffle the whole exploded corpus."""
+    plan = _plan(spark, "ns_unigram_surprisal")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bigram_pairs_stay_in_scan_stage(spark):
+    """Adjacent pairs come from zipping the token array with its own
+    tail — NO positional self-join: the only join allowed is the tiny
+    broadcast of the top-20 left-words."""
+    plan = _plan(spark, "ns_bigram_next_word")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_winnow_reuses_doc_partitioning(spark):
+    """Winnowing = window min per doc + per-doc summary agg: both hash
+    by doc_id, so the plan needs at most the spread() fan-out plus ONE
+    wide exchange on doc_id (AQE may coalesce, never add a second
+    doc_id shuffle)."""
+    import re
+
+    plan = _plan(spark, "ns_winnow_fingerprints")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 3, plan  # spread + hashpartition(doc_id) + agg-side
+    assert "Window" in plan, plan
