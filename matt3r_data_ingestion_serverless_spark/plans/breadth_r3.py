@@ -922,3 +922,268 @@ def udaf_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_gini(F.col("cents")), 6).alias("gini"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition filters, privacy audits, and a two-state smoothing fold
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ns_repetition_filter",
+    sql="""
+WITH pos AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2, count(*) AS cnt
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.tok <> '' AND b.tok <> ''
+  GROUP BY a.doc_id, a.tok, b.tok
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       count(*) AS n_distinct_bigrams,
+       round(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_bigram_frac,
+       round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) AS top_bigram_share
+FROM pairs GROUP BY doc_id
+""",
+)
+def ns_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/C4-style quality
+    rules): duplicate-bigram fraction and the share of the single most
+    frequent bigram — template/boilerplate and generated-loop text
+    score high on both and get dropped before pretraining.
+
+    Spark extracts bigrams by zipping the token array with its own tail
+    (scan-stage, no positional join), then two hash aggs: (doc, bigram)
+    counts and the per-doc rollup — both hash by doc_id, so AQE plans
+    them on one shuffle's partitioning. Ratios are exact-integer
+    divisions rounded once."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),"
+                    "         slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)),"
+                    "         (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("pr"),
+        )
+        .select("doc_id", "pr.w1", "pr.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = F.sum("cnt")
+    return pairs.groupBy("doc_id").agg(
+        tot.cast("long").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+        F.round(F.lit(1.0) - F.count("*") / tot.cast("double"), 6).alias(
+            "dup_bigram_frac"
+        ),
+        F.round(F.max("cnt") / tot.cast("double"), 6).alias("top_bigram_share"),
+    )
+
+
+_KANON_K = 5
+
+
+@register(
+    "ns_kanonymity_audit",
+    sql=f"""
+WITH qi AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day,
+         CAST(user_id % 10 AS INT) AS region, count(*) AS grp_n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT count(*) AS n_groups,
+       count(*) FILTER (grp_n < {_KANON_K}) AS n_groups_below_k,
+       CAST(min(grp_n) AS BIGINT) AS min_group_size,
+       round(coalesce(sum(grp_n) FILTER (grp_n < {_KANON_K}), 0)
+             / CAST(sum(grp_n) AS DOUBLE), 6) AS frac_rows_at_risk
+FROM qi
+""",
+)
+def ns_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k = {k}) over the quasi-identifier tuple
+    (event_type, hour-of-day, coarse region): how many equivalence
+    classes are smaller than k and what fraction of rows they expose —
+    the release gate run before publishing any per-group rollup, and
+    the companion to ns_pii_mask_events' column-level scrub.
+
+    Scale: one hash agg on the QI tuple, then a single-row summary —
+    group cardinality is bounded by the QI domain product, never the
+    row count.""".replace("{k}", str(_KANON_K))
+    e = load_table(spark, sf_dir, "events")
+    qi = e.groupBy(
+        "event_type",
+        F.hour("ts").cast("int").alias("hour_of_day"),
+        (F.col("user_id") % 10).cast("int").alias("region"),
+    ).agg(F.count("*").alias("grp_n"))
+    below = F.col("grp_n") < _KANON_K
+    return qi.agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(below, 1).otherwise(0)).alias("n_groups_below_k"),
+        F.min("grp_n").cast("long").alias("min_group_size"),
+        F.round(
+            F.sum(F.when(below, F.col("grp_n")).otherwise(0))
+            / F.sum("grp_n").cast("double"),
+            6,
+        ).alias("frac_rows_at_risk"),
+    )
+
+
+_DP_SCALE = 2.0  # Laplace scale b = sensitivity/epsilon = 1/0.5
+
+
+def _dp_noise_sql(key: str) -> str:
+    from matt3r_data_ingestion_serverless_spark.functions import hashing
+
+    u = f"((({hashing.md5_hash64_sql(key)}) % 1000000 + 1000000) % 1000000 + 0.5) / 1000000.0"
+    return (
+        f"-{_DP_SCALE} * sign({u} - 0.5) * ln(1.0 - 2.0 * abs({u} - 0.5))"
+    )
+
+
+@register(
+    "ns_dp_noisy_counts",
+    sql=f"""
+WITH c AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS true_n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(true_n AS BIGINT) AS true_n,
+       round(true_n + {_dp_noise_sql("concat(event_type, '|', strftime(day, '%Y-%m-%d'))")}, 6)
+         AS noisy_n
+FROM c
+""",
+)
+def ns_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-shaped release: per (event_type, day) counts
+    plus Laplace(b=2) noise drawn by INVERSE-CDF from a deterministic
+    md5-derived uniform — so the release is reproducible across engines
+    and runs (a keyed-PRNG noise stream, the pattern DP libraries use
+    for auditable releases; true randomness would just swap the seed
+    source). The true count rides along because the oracle needs it —
+    a production release would drop it.
+
+    Scale: one hash agg, then pure per-row noise arithmetic in codegen;
+    nothing about the noise couples rows, so the release parallelizes
+    like any projection."""
+    from matt3r_data_ingestion_serverless_spark.functions import hashing
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("true_n"))
+    key = F.concat(F.col("event_type"), F.lit("|"), F.col("day"))
+    u = (
+        ((hashing.md5_hash64(key) % 1000000 + 1000000) % 1000000).cast("double")
+        + 0.5
+    ) / 1000000.0
+    noise = (
+        F.lit(-_DP_SCALE)
+        * F.signum(u - 0.5)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - 0.5))
+    )
+    return c.select(
+        "event_type",
+        "day",
+        F.col("true_n").cast("long").alias("true_n"),
+        F.round(F.col("true_n") + noise, 6).alias("noisy_n"),
+    )
+
+
+@register(
+    "ts_holt_linear",
+    # NOTE the oracle is a recursive CTE, not a list_reduce struct fold:
+    # DuckDB's list_reduce evaluates the result-struct fields
+    # SEQUENTIALLY against an in-place accumulator (the 'b' expression
+    # observes the already-updated 'l'), so a two-state fold cannot be
+    # expressed there with simultaneous-assignment semantics. The
+    # recursive CTE updates both states in one SELECT — standard SQL
+    # simultaneous binding — with the exact IEEE op sequence of the
+    # Spark lambda.
+    sql="""
+WITH RECURSIVE
+r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k
+  FROM events
+),
+nn AS (SELECT user_id, max(k) AS n FROM r GROUP BY user_id),
+rec AS (
+  SELECT a.user_id, 2 AS k, b.value AS l, b.value - a.value AS bb
+  FROM r a JOIN r b ON a.user_id = b.user_id AND a.k = 1 AND b.k = 2
+  UNION ALL
+  SELECT s.user_id, s.k + 1,
+         0.5 * r.value + 0.5 * (s.l + s.bb),
+         0.25 * ((0.5 * r.value + 0.5 * (s.l + s.bb)) - s.l) + 0.75 * s.bb
+  FROM rec s JOIN r ON r.user_id = s.user_id AND r.k = s.k + 1
+)
+SELECT rec.user_id, CAST(n AS BIGINT) AS n_events,
+       round(l, 6) AS holt_level, round(bb, 6) AS holt_trend
+FROM rec JOIN nn ON rec.user_id = nn.user_id
+WHERE k = n AND n >= 3
+""",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (alpha = 0.5, beta = 0.25):
+    the TWO-state recursive fold — level and trend update jointly, each
+    step reading both previous states — that no window frame and no
+    single-value fold expresses. State is a struct threaded through the
+    aggregate() higher-order function over the time-sorted value list;
+    initialization is the standard l₀ = x₂, b₀ = x₂ − x₁.
+
+    Determinism: operand order pinned by the sorted collect; 0.5/0.25/
+    0.75 are binary-exact; both engines execute the identical IEEE
+    sequence (the level expression is deliberately repeated inside the
+    trend update rather than bound to a local, keeping the op order
+    textual in both dialects) → bit-equal before the final round. The
+    oracle is a recursive CTE rather than a list_reduce struct fold —
+    see the SQL-side note on DuckDB's sequential field evaluation.
+    Scale: one shuffle; per-key state is two doubles. Million-row keys
+    move to the incremental applyInPandasWithState fold, same as EWMA."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("ts_us"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("value").alias("v"),
+                )
+            )
+        ),
+        lambda s: s["v"],
+    )
+    x1, x2 = F.element_at(vals, 1), F.element_at(vals, 2)
+    init = F.struct(x2.alias("l"), (x2 - x1).alias("b"))
+    tail = F.slice(vals, 3, F.greatest(F.size(vals) - 2, F.lit(0)))
+
+    def step(acc, x):
+        new_l = F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])
+        new_b = (
+            F.lit(0.25)
+            * ((F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])) - acc["l"])
+            + F.lit(0.75) * acc["b"]
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    st = F.aggregate(tail, init, step)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), st.alias("st"))
+        .filter(F.col("n_events") >= 3)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("st.l"), 6).alias("holt_level"),
+            F.round(F.col("st.b"), 6).alias("holt_trend"),
+        )
+    )

@@ -330,3 +330,85 @@ def test_udaf_gini_matches_python(spark):
         assert out[et].n_values == n
         assert abs(out[et].gini - gini) < 1e-5
         assert 0.0 <= out[et].gini < 1.0
+
+
+def test_repetition_filter_matches_python(spark):
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r3 import (
+        ns_repetition_filter,
+    )
+
+    toks = _doc_tokens(spark)
+    out = {r.doc_id: r for r in ns_repetition_filter(spark, SF_SMOKE).collect()}
+    for doc_id, ts in toks.items():
+        pairs = Counter(zip(ts, ts[1:]))
+        if not pairs:
+            assert doc_id not in out
+            continue
+        total = sum(pairs.values())
+        r = out[doc_id]
+        assert r.n_bigrams == total
+        assert r.n_distinct_bigrams == len(pairs)
+        assert abs(r.dup_bigram_frac - (1 - len(pairs) / total)) < 1e-6
+        assert abs(r.top_bigram_share - max(pairs.values()) / total) < 1e-6
+
+
+def test_kanonymity_audit_matches_python(spark):
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r3 import (
+        _KANON_K,
+        ns_kanonymity_audit,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    groups = Counter(
+        (r.event_type, r.ts.hour, r.user_id % 10) for r in ev
+    )
+    r = ns_kanonymity_audit(spark, SF_SMOKE).collect()[0]
+    below = {g: n for g, n in groups.items() if n < _KANON_K}
+    assert r.n_groups == len(groups)
+    assert r.n_groups_below_k == len(below)
+    assert r.min_group_size == min(groups.values())
+    assert abs(r.frac_rows_at_risk - sum(below.values()) / len(ev)) < 1e-6
+
+
+def test_dp_noisy_counts_deterministic_and_unbiasedish(spark):
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r3 import (
+        ns_dp_noisy_counts,
+    )
+
+    a = {(r.event_type, r.day): r.noisy_n for r in ns_dp_noisy_counts(spark, SF_SMOKE).collect()}
+    b = {(r.event_type, r.day): r.noisy_n for r in ns_dp_noisy_counts(spark, SF_SMOKE).collect()}
+    assert a == b  # keyed PRNG: reproducible release
+    rows = ns_dp_noisy_counts(spark, SF_SMOKE).collect()
+    resid = [r.noisy_n - r.true_n for r in rows]
+    # Laplace(b=2): residuals centered near 0, rarely beyond ~8b
+    assert all(abs(x) < 30 for x in resid)
+    assert abs(sum(resid) / len(resid)) < 2.0
+
+
+def test_holt_linear_matches_python(spark):
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r3 import ts_holt_linear
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    out = {r.user_id: r for r in ts_holt_linear(spark, SF_SMOKE).collect()}
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        xs = [r.value for r in rows]
+        if len(xs) < 3:
+            assert uid not in out
+            continue
+        l, b = xs[1], xs[1] - xs[0]
+        for x in xs[2:]:
+            nl = 0.5 * x + 0.5 * (l + b)
+            nb = 0.25 * (nl - l) + 0.75 * b
+            l, b = nl, nb
+        r = out[uid]
+        assert r.n_events == len(xs)
+        assert abs(r.holt_level - l) < 1e-5
+        assert abs(r.holt_trend - b) < 1e-5
