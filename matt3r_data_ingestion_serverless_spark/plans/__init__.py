@@ -25,5 +25,6 @@ from matt3r_data_ingestion_serverless_spark.plans import lakehouse  # noqa: F401
 from matt3r_data_ingestion_serverless_spark.plans import search  # noqa: F401,E402
 from matt3r_data_ingestion_serverless_spark.plans import breadth_r2  # noqa: F401,E402
 from matt3r_data_ingestion_serverless_spark.plans import breadth_r3  # noqa: F401,E402
+from matt3r_data_ingestion_serverless_spark.plans import breadth_r4  # noqa: F401,E402
 
 __all__ = ["QUERIES", "all_queries", "register"]
