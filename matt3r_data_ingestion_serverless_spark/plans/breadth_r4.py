@@ -256,3 +256,177 @@ def ns_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup + training-shard balance audit
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.4  # cosine threshold (synthetic near-dup pairs sit ≈ 0.4-0.51)
+
+
+def _semdedup_sql() -> str:
+    def d2(v: str, c: str) -> str:
+        return (
+            f"{vectors.dot_sql(v, v)} - 2 * {vectors.dot_sql(v, c)}"
+            f" + {vectors.dot_sql(c, c)}"
+        )
+
+    d2u = f"CAST(floor(({d2('e.v', 'c.c')}) * 1e6 + 0.5) AS BIGINT)"
+    cos = f"{vectors.dot_sql('x.v', 'y.v')} / (x.nrm * y.nrm)"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {_KM_K}),
+j1 AS (SELECT e.vec_id, c.cid, {d2u} AS d2u FROM e CROSS JOIN c0 c),
+a1 AS (SELECT vec_id, cid FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2u, cid) AS rn
+         FROM j1) WHERE rn = 1),
+n AS (SELECT a1.cid, e.vec_id, e.v, {vectors.l2_norm_sql('e.v')} AS nrm
+      FROM a1 JOIN e USING (vec_id)),
+dropped AS (
+  SELECT DISTINCT y.cid, y.vec_id
+  FROM n x JOIN n y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE round({cos}, 6) >= {_SEM_TAU}
+)
+SELECT n.cid, count(*) AS n_members,
+       count(d.vec_id) AS n_dropped,
+       count(*) - count(d.vec_id) AS n_kept
+FROM n LEFT JOIN dropped d ON n.cid = d.cid AND n.vec_id = d.vec_id
+GROUP BY n.cid
+"""
+
+
+@register("ns_semdedup_clusters", sql=_semdedup_sql())
+def ns_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication that first
+    PARTITIONS the corpus by k-means cluster, then runs pairwise cosine
+    only WITHIN clusters, dropping every vector that has a
+    more-canonical (lower-id) near-twin. The clustering bounds the
+    quadratic term — pair cost is Σ|cluster|², not |corpus|² — which is
+    the entire reason this scales where brute-force near-dup doesn't.
+    Reuses the deterministic one-iteration assignment from
+    kmeans_embeddings (micro-unit distances, id tie-breaks).
+
+    Scale: assignment is a broadcast scan; the within-cluster self-join
+    hashes on cid, so each cluster's pairs materialize on one
+    partition — balanced as long as clusters are (for skewed clusters,
+    sub-split by an LSH band the way ns_embedding_neardup_lsh does).
+    Keep/drop counts per cluster are the dataset-card numbers a
+    curation run reports."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    c0 = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    d2 = (
+        vectors.dot(F.col("v"), F.col("v"))
+        - F.lit(2.0) * vectors.dot(F.col("v"), F.col("c"))
+        + vectors.dot(F.col("c"), F.col("c"))
+    )
+    j = e.crossJoin(F.broadcast(c0)).select(
+        "vec_id", "cid", F.floor(d2 * 1e6 + 0.5).cast("long").alias("d2u")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2u", "cid")
+    a1 = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    n = a1.join(e, "vec_id").withColumn("nrm", vectors.l2_norm(F.col("v")))
+    x = n.select(
+        F.col("cid"), F.col("vec_id").alias("id_x"), F.col("v").alias("vx"),
+        F.col("nrm").alias("nx"),
+    )
+    y = n.select(
+        F.col("cid"), F.col("vec_id").alias("id_y"), F.col("v").alias("vy"),
+        F.col("nrm").alias("ny"),
+    )
+    cos = F.round(
+        vectors.cosine(F.col("vx"), F.col("vy"), F.col("nx"), F.col("ny")), 6
+    )
+    dropped = (
+        x.join(y, "cid")
+        .filter(F.col("id_x") < F.col("id_y"))
+        .filter(cos >= _SEM_TAU)
+        .select("cid", F.col("id_y").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        n.select("cid", "vec_id")
+        .join(dropped, ["cid", "vec_id"], "left")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))).alias("n_dropped"),
+            (F.count("*") - F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
+_N_SHARDS = 16
+
+
+def _shard_balance_sql() -> str:
+    from matt3r_data_ingestion_serverless_spark.functions import hashing
+
+    h = hashing.md5_hash64_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH s AS (
+  SELECT (({h}) % {_N_SHARDS} + {_N_SHARDS}) % {_N_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+per AS (
+  SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM s GROUP BY shard
+)
+SELECT CAST(shard AS INT) AS shard, n_docs, total_tokens,
+       {round6_sql("total_tokens / (sum(total_tokens) OVER () / " + str(_N_SHARDS) + ".0)")}
+         AS load_factor
+FROM per
+"""
+
+
+@register("ns_shard_balance_audit", sql=_shard_balance_sql())
+def ns_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard balance audit: documents hash into {n} shards by
+    md5(doc_id) and each shard reports doc count, token mass, and its
+    load factor vs the ideal equal split — the pre-flight check before
+    a distributed training run, where one hot shard stalls every data-
+    parallel worker at the epoch barrier. Hash sharding bounds the
+    factor near 1; the audit catches both hash-function accidents and
+    pathological length skew.
+
+    Scale: one scan + one {n}-row hash agg; the window over 16 rows is
+    free. The same md5 keying makes the shard assignment reproducible
+    across engines and runs (no repartition() nondeterminism).""".replace(
+        "{n}", str(_N_SHARDS)
+    )
+    from matt3r_data_ingestion_serverless_spark.functions import hashing
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        (hashing.md5_hash64(F.col("doc_id").cast("string")) % _N_SHARDS + _N_SHARDS)
+        % _N_SHARDS
+    ).cast("int")
+    per = (
+        docs.select(
+            shard.alias("shard"), F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    ideal = F.sum("total_tokens").over(Window.partitionBy()) / float(_N_SHARDS)
+    return per.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        round6(F.col("total_tokens") / ideal).alias("load_factor"),
+    )

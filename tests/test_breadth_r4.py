@@ -85,3 +85,51 @@ def test_zipf_slope_matches_numpy(spark):
     assert abs(r.zipf_slope - slope) < 1e-4
     assert r.zipf_slope < 0  # frequency decreases with rank
     assert 0.0 <= r.r2 <= 1.0
+
+
+def test_semdedup_matches_numpy(spark):
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r4 import (
+        _SEM_TAU,
+        ns_semdedup_clusters,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    ids = np.array([r.vec_id for r in emb])
+    order = np.argsort(ids)
+    ids, X = ids[order], np.array([list(r.embedding) for r in emb], dtype=np.float64)[order]
+    cents = X[: _KM_K]
+    d2 = (X * X).sum(1)[:, None] - 2 * X @ cents.T + (cents * cents).sum(1)[None, :]
+    lab = np.floor(d2 * 1e6 + 0.5).astype(np.int64).argmin(1)
+    nrm = np.linalg.norm(X, axis=1)
+    exp = {}
+    for k in range(_KM_K):
+        members = np.where(lab == k)[0]
+        dropped = set()
+        for i_pos, i in enumerate(members):
+            for j in members[i_pos + 1:]:
+                cos = round(float(X[i] @ X[j] / (nrm[i] * nrm[j])), 6)
+                if cos >= _SEM_TAU:
+                    dropped.add(int(ids[j]))
+        exp[k] = (len(members), len(dropped))
+    out = {r.cid: r for r in ns_semdedup_clusters(spark, SF_SMOKE).collect()}
+    for k, (n, nd) in exp.items():
+        if n == 0:
+            assert k not in out
+            continue
+        assert (out[k].n_members, out[k].n_dropped, out[k].n_kept) == (n, nd, n - nd)
+
+
+def test_shard_balance_totals(spark):
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r4 import (
+        _N_SHARDS,
+        ns_shard_balance_audit,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    rows = ns_shard_balance_audit(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in rows) == len(docs)
+    assert sum(r.total_tokens for r in rows) == sum(len(d.text.split(" ")) for d in docs)
+    assert len(rows) <= _N_SHARDS
+    # load factors average ~1 over the ideal split
+    avg = sum(r.load_factor * 1 for r in rows) / len(rows)
+    assert 0.5 < avg < 1.5
