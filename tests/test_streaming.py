@@ -467,3 +467,35 @@ def test_python_datasource_stream_reader(spark, dirs, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 3
     assert set(out.select("channel").distinct().toPandas()["channel"]) == {"speed", "ap_status"}
+
+
+def test_drain_topology_scheduler(spark, dirs, tmp_path):
+    """scheduler.drain_topology: one call = one serverless-style sweep.
+    Sweep 2 with no new data is a no-op; a new raw drop is picked up
+    incrementally from the checkpoints."""
+    from matt3r_data_ingestion_serverless_spark.streaming.scheduler import (
+        drain_topology,
+    )
+
+    zero = bytes([0x00, 0x40, 0x1F])
+    frames = [(i * 1000, 599, zero) for i in range(20)] + [
+        (25_000, 921, bytes([0x02])),
+        (26_000, 921, bytes([0x03])),
+    ]
+    _write_raw(dirs, "a.log", frames)
+    root = str(tmp_path / "topo")
+
+    c1 = drain_topology(spark, dirs["raw"], root, gap="5 seconds")
+    assert c1["silver_rows"] > 0
+    assert c1["autopilot_events"] == 1  # 2→3 engagement
+
+    # idempotent sweep: no new files → identical counts
+    c2 = drain_topology(spark, dirs["raw"], root, gap="5 seconds")
+    assert c2 == c1
+
+    # incremental: one more raw drop advances silver AND closes the
+    # stationary session (watermark passes), without reprocessing a.log
+    _write_raw(dirs, "b.log", [(60_000, 599, zero)])
+    c3 = drain_topology(spark, dirs["raw"], root, gap="5 seconds")
+    assert c3["silver_rows"] == c1["silver_rows"] + 1
+    assert c3["stationary_intervals"] >= 1
