@@ -180,3 +180,55 @@ def test_spark_read_canserver_end_to_end(spark, tmp_path):
 
     doc = json.loads(docs[0]["document"])
     assert len(doc["accel"]) == 10 and doc["speed"][0]["value"] == [pytest.approx(287.6)]
+
+
+def test_python_datasource_writer_roundtrip(spark, tmp_path):
+    """df.write.format('canserver') → read back: frames AND decoded
+    signal timestamps are bit-identical (the writer re-syncs whenever a
+    µs timestamp isn't an exact ms offset of the current sync)."""
+    from matt3r_data_ingestion_serverless_spark.sources import canserver_datasource as ds
+
+    ds.register(spark)
+    sync = SYNC_US
+    rows = [
+        # ms-aligned run: shares one sync
+        *[
+            ("veh_w", sync + i * 1000, 599, 0, bytearray([0x00, 0x40, 0x1F]))
+            for i in range(5)
+        ],
+        # sub-ms timestamp: forces a re-sync, still exact
+        ("veh_w", sync + 5_500, 921, 0, bytearray([0x03])),
+        # beyond the 16-bit ms horizon: forces another sync
+        ("veh_w", sync + 70_000_000, 599, 2, bytearray([0x00, 0xF0, 0xFF])),
+        # second device → its own subdirectory
+        ("veh_x", sync, 921, 0, bytearray([0x02])),
+    ]
+    df = spark.createDataFrame(rows, ds.FRAME_WRITE_SCHEMA)
+    out = str(tmp_path / "bronze_export")
+    df.write.format("canserver").mode("append").save(out)
+
+    import pathlib
+
+    assert {p.name for p in pathlib.Path(out).iterdir()} == {"veh_w", "veh_x"}
+
+    back = spark.read.format("canserver").load(out)
+    got = {
+        (r.device_id, int(r.ts.timestamp() * 1_000_000), r.channel)
+        for r in back.collect()
+    }
+    assert got == {
+        *{("veh_w", sync + i * 1000, "speed") for i in range(5)},
+        ("veh_w", sync + 5_500, "ap_status"),
+        ("veh_w", sync + 70_000_000, "speed"),
+        ("veh_x", sync, "ap_status"),
+    }
+    # frame-level check: re-scanning ALL written files for the device
+    # (each write task emits its own part file) yields exactly the
+    # frames that were written — as a multiset of (frame_id, bus_id)
+    from collections import Counter
+
+    seen = Counter()
+    for f in pathlib.Path(out, "veh_w").glob("*.canlog"):
+        frames = cs.decode_frames(f.read_bytes())
+        seen.update(zip(frames["frame_id"], frames["bus_id"]))
+    assert seen == Counter({(599, 0): 5, (921, 0): 1, (599, 2): 1})
