@@ -439,3 +439,137 @@ def ns_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         round6(F.col("total_tokens") / ideal).alias("load_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# leaderboard rank movement + Bollinger breach detection (integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_shift",
+    sql="""
+WITH monthly AS (
+  SELECT CAST(month(l.l_shipdate) AS INT) AS m, p.p_brand AS brand,
+         CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT m, brand, revenue_cents,
+         CAST(dense_rank() OVER (PARTITION BY m
+                                 ORDER BY revenue_cents DESC, brand) AS INT) AS rnk
+  FROM monthly
+)
+SELECT m, brand, revenue_cents, rnk,
+       CAST(lag(rnk) OVER (PARTITION BY brand ORDER BY m) AS INT) AS prev_rnk,
+       CAST(lag(rnk) OVER (PARTITION BY brand ORDER BY m) - rnk AS INT) AS shift
+FROM ranked
+""",
+)
+def window_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard movement: brands ranked by monthly revenue, then each
+    brand's month-over-month rank change — a window OVER a window (rank
+    within month, lag within brand), the composition reporting stacks
+    are built from. Positive shift = climbed the board.
+
+    Scale: the monthly rollup shrinks the fact table to |months×brands|
+    rows before any window runs, so both window passes (and their two
+    different partition keys) shuffle only the aggregate — the
+    aggregate-before-window rule pct_of_parent_rollup also follows.
+    All-integer outputs; rank ties break on brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    monthly = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.month("l_shipdate").cast("int").alias("m"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+    wm = Window.partitionBy("m").orderBy(F.desc("revenue_cents"), F.asc("brand"))
+    ranked = monthly.withColumn("rnk", F.dense_rank().over(wm).cast("int"))
+    wb = Window.partitionBy("brand").orderBy("m")
+    prev = F.lag("rnk").over(wb).cast("int")
+    return ranked.select(
+        "m", "brand", "revenue_cents", "rnk",
+        prev.alias("prev_rnk"), (prev - F.col("rnk")).cast("int").alias("shift"),
+    )
+
+
+_BOLL_N = 20  # trailing window length
+
+
+@register(
+    "ts_bollinger_breach",
+    sql=f"""
+WITH c AS (
+  SELECT user_id, ts, event_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+w AS (
+  SELECT user_id, ts, event_id, cents,
+         count(*) OVER win AS n,
+         sum(cents) OVER win AS s1,
+         sum(cents * cents) OVER win AS s2
+  FROM c
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {_BOLL_N} PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, cents,
+       round(s1 / CAST(n AS DOUBLE) / 100.0, 6) AS band_mean,
+       round(sqrt((n * s2 - s1 * s1) / (CAST(n AS DOUBLE) * (n - 1))) / 100.0, 6)
+         AS band_sigma,
+       ((n * cents - s1) * (n * cents - s1) * (n - 1) > 4 * n * (n * s2 - s1 * s1))
+         AS breach
+FROM w WHERE n >= {_BOLL_N}
+""",
+)
+def ts_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band monitoring over each user's purchase stream: the
+    trailing-{n} mean ± 2σ envelope, with the breach decision made in
+    EXACT INTEGER arithmetic — |x−μ| > 2σ cross-multiplies to
+    (n·x−s1)²·(n−1) > 4·n·(n·s2−s1²) over bigint power sums, so the
+    boolean can never flip on an engine's last-ulp sqrt difference
+    (the displayed band edges are rounded floats; the decision never
+    touches them). The window excludes the current row (1 PRECEDING) so
+    a spike can't mask itself.
+
+    Scale: one shuffle on user_id; the frame is a bounded ROWS window —
+    state per key is {n} rows regardless of history length, the same
+    bound the streaming variant would keep in its state store."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_BOLL_N - 1) - 1, -1)
+    )
+    c = e.select("user_id", "ts", "event_id", cents.alias("cents"))
+    w = c.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "cents",
+        F.count("*").over(win).alias("n"),
+        F.sum("cents").over(win).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).alias("s2"),
+    ).filter(F.col("n") >= _BOLL_N)
+    n, s1, s2, x = F.col("n"), F.col("s1"), F.col("s2"), F.col("cents")
+    dev = n * x - s1
+    return w.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "cents",
+        F.round(s1 / n.cast("double") / 100.0, 6).alias("band_mean"),
+        F.round(
+            F.sqrt((n * s2 - s1 * s1) / (n.cast("double") * (n - 1))) / 100.0, 6
+        ).alias("band_sigma"),
+        (dev * dev * (n - 1) > 4 * n * (n * s2 - s1 * s1)).alias("breach"),
+    )

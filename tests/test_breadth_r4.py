@@ -133,3 +133,72 @@ def test_shard_balance_totals(spark):
     # load factors average ~1 over the ideal split
     avg = sum(r.load_factor * 1 for r in rows) / len(rows)
     assert 0.5 < avg < 1.5
+
+
+def test_rank_shift_matches_python(spark):
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r4 import (
+        window_rank_shift,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    parts = {r.p_partkey: r.p_brand for r in load_table(spark, SF_SMOKE, "part").collect()}
+    rev = defaultdict(int)
+    for r in li:
+        rev[(r.l_shipdate.month, parts[r.l_partkey])] += round(r.l_extendedprice * 100)
+    ranks = {}
+    for m in {k[0] for k in rev}:
+        month_rows = sorted(
+            ((b, v) for (mm, b), v in rev.items() if mm == m),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        rnk, prev_v = 0, None
+        for i, (b, v) in enumerate(month_rows):
+            if v != prev_v:
+                rnk += 1  # dense_rank
+                prev_v = v
+            ranks[(m, b)] = rnk
+    out = {(r.m, r.brand): r for r in window_rank_shift(spark, SF_SMOKE).collect()}
+    assert set(out) == set(rev)
+    for (m, b), r in out.items():
+        assert r.rnk == ranks[(m, b)]
+        assert r.revenue_cents == rev[(m, b)]
+        prev = ranks.get((m - 1, b))
+        # months in the fixture are contiguous where the brand traded
+        if r.prev_rnk is not None and (m - 1, b) in ranks:
+            assert r.shift == r.prev_rnk - r.rnk
+
+
+def test_bollinger_breach_matches_python(spark):
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r4 import (
+        _BOLL_N,
+        ts_bollinger_breach,
+    )
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "purchase")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    out = {(r.user_id, r.ts_us): r for r in ts_bollinger_breach(spark, SF_SMOKE).collect()}
+    n_checked = 0
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        cents = [round(r.value * 100) for r in rows]
+        for i in range(len(rows)):
+            w = cents[max(0, i - _BOLL_N):i]
+            key = (uid, int(rows[i].ts.timestamp() * 1_000_000))
+            if len(w) < _BOLL_N:
+                assert key not in out
+                continue
+            n, s1, s2 = len(w), sum(w), sum(v * v for v in w)
+            mu = s1 / n
+            var = (n * s2 - s1 * s1) / (n * (n - 1))
+            exp_breach = abs(cents[i] - mu) > 2 * var**0.5
+            r = out[key]
+            assert r.breach == exp_breach
+            assert abs(r.band_mean - mu / 100) < 1e-6
+            n_checked += 1
+    assert n_checked == len(out)
