@@ -573,3 +573,97 @@ def ts_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_sigma"),
         (dev * dev * (n - 1) > 4 * n * (n * s2 - s1 * s1)).alias("breach"),
     )
+
+
+# ---------------------------------------------------------------------------
+# late-interaction (ColBERT-style) multi-vector MaxSim retrieval
+# ---------------------------------------------------------------------------
+
+
+def _maxsim_sql() -> str:
+    from matt3r_data_ingestion_serverless_spark.functions import vectors
+
+    cos = f"{vectors.dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm)"
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, {vectors.l2_norm_sql('v')} AS nrm FROM e),
+best AS (
+  SELECT a.label AS label_a, b.label AS label_b, a.vec_id,
+         max(round({cos}, 6)) AS best_cos
+  FROM n a JOIN n b ON a.label != b.label
+  GROUP BY a.label, b.label, a.vec_id
+)
+SELECT label_a, label_b, count(*) AS n_query_vecs,
+       round(sum(best_cos), 6) AS maxsim_sum,
+       round(sum(best_cos) / count(*), 6) AS maxsim_avg
+FROM best GROUP BY label_a, label_b
+"""
+
+
+@register("ns_colbert_maxsim", sql=_maxsim_sql())
+def ns_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval scoring (ColBERT's MaxSim, Khattab &
+    Zaharia 2020): treating each label group as a MULTI-VECTOR document,
+    the relevance of document B to query A is Σ over A's vectors of the
+    best cosine against ANY of B's vectors — token-level matching that
+    single-vector cosine collapses away. Reported for every ordered
+    label pair (the score is asymmetric by construction).
+
+    Execution is the blocked-BLAS pattern (operators/ann.py): the
+    corpus matrix broadcasts (|corpus|×d doubles — the multi-vector
+    index is small because vectors, not documents, are the rows), each
+    Arrow batch of query vectors scores as ONE matmul, takes per-row
+    maxes per target label, and emits per-(label_a,label_b) PARTIAL
+    sums that a final hash agg combines — a per-row max is complete
+    within its batch row, so partials compose exactly. Cosines round
+    to 6 dp BEFORE the max so an ulp difference can't pick a different
+    argmax; the oracle is the plain pair-join formulation of the same
+    rounded math."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+
+    pdf_all = emb.select("vec_id", "label", "embedding").toPandas()
+    all_labels = np.sort(pdf_all["label"].unique())
+    X = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(X, axis=1)
+    lab = pdf_all["label"].to_numpy()
+    bc = spark.sparkContext.broadcast((all_labels, lab, X, nrm))
+
+    def score(batches):
+        labels_u, lab_c, Xc, nrm_c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Xa = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            na = np.linalg.norm(Xa, axis=1)
+            la = pdf["label"].to_numpy()
+            sims = np.round((Xa @ Xc.T) / np.outer(na, nrm_c), 6)
+            out = {"label_a": [], "label_b": [], "s": [], "n": []}
+            for lb in labels_u:
+                col = sims[:, lab_c == lb]
+                if col.shape[1] == 0:
+                    continue
+                m = col.max(axis=1)
+                for la_v in np.unique(la):
+                    if la_v == lb:
+                        continue
+                    rows = la == la_v
+                    out["label_a"].append(int(la_v))
+                    out["label_b"].append(int(lb))
+                    out["s"].append(float(m[rows].sum()))
+                    out["n"].append(int(rows.sum()))
+            yield pd.DataFrame(out)
+
+    partial = emb.select("vec_id", "label", "embedding").mapInPandas(
+        score, "label_a int, label_b int, s double, n long"
+    )
+    return (
+        partial.groupBy("label_a", "label_b")
+        .agg(F.sum("s").alias("ss"), F.sum("n").alias("n_query_vecs"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_query_vecs",
+            F.round(F.col("ss"), 6).alias("maxsim_sum"),
+            F.round(F.col("ss") / F.col("n_query_vecs"), 6).alias("maxsim_avg"),
+        )
+    )

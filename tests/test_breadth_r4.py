@@ -202,3 +202,32 @@ def test_bollinger_breach_matches_python(spark):
             assert abs(r.band_mean - mu / 100) < 1e-6
             n_checked += 1
     assert n_checked == len(out)
+
+
+def test_colbert_maxsim_matches_numpy(spark):
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r4 import (
+        ns_colbert_maxsim,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    X = np.array([list(r.embedding) for r in emb], dtype=np.float64)
+    lab = np.array([r.label for r in emb])
+    nrm = np.linalg.norm(X, axis=1)
+    sims = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
+    out = {(r.label_a, r.label_b): r for r in ns_colbert_maxsim(spark, SF_SMOKE).collect()}
+    labels = np.unique(lab)
+    for la in labels:
+        for lb in labels:
+            if la == lb:
+                continue
+            rows, cols = lab == la, lab == lb
+            m = sims[np.ix_(rows, cols)].max(axis=1)
+            r = out[(la, lb)]
+            assert r.n_query_vecs == rows.sum()
+            assert abs(r.maxsim_sum - m.sum()) < 1e-5
+            assert abs(r.maxsim_avg - m.sum() / rows.sum()) < 1e-5
+    # asymmetry is real: at least one ordered pair differs from its flip
+    assert any(
+        abs(out[(a, b)].maxsim_avg - out[(b, a)].maxsim_avg) > 1e-6
+        for a in labels for b in labels if a < b
+    )
