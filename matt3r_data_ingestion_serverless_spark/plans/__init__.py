@@ -27,4 +27,8 @@ from matt3r_data_ingestion_serverless_spark.plans import breadth_r2  # noqa: F40
 from matt3r_data_ingestion_serverless_spark.plans import breadth_r3  # noqa: F401,E402
 from matt3r_data_ingestion_serverless_spark.plans import breadth_r4  # noqa: F401,E402
 
+# ts_streamed_bollinger shares the batch operator's oracle; the batch
+# entry registers in breadth_r4, after telemetry — attach once both exist.
+telemetry._attach_streamed_bollinger_oracle()
+
 __all__ = ["QUERIES", "all_queries", "register"]

@@ -499,3 +499,57 @@ def test_drain_topology_scheduler(spark, dirs, tmp_path):
     c3 = drain_topology(spark, dirs["raw"], root, gap="5 seconds")
     assert c3["silver_rows"] == c1["silver_rows"] + 1
     assert c3["stationary_intervals"] >= 1
+
+
+def test_streamed_bollinger_matches_batch_across_batches(spark, tmp_path):
+    """The streamed Bollinger monitor must equal the batch window query
+    even when a user's series is SPLIT across micro-batches (ring
+    buffer carried in GroupState), and re-delivered rows must be
+    ignored."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r4 import _BOLL_N
+    from matt3r_data_ingestion_serverless_spark.plans.telemetry import (
+        _bollinger_state_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    cents = [100 + (i * 37) % 50 for i in range(_BOLL_N + 10)] + [10_000]
+    rows = [
+        {"ts_us": i * 1_000_000, "event_id": i, "cents": c}
+        for i, c in enumerate(cents)
+    ]
+    # batch reference: trailing window over the whole series
+    exp = []
+    for i in range(len(cents)):
+        w = cents[max(0, i - _BOLL_N):i]
+        if len(w) < _BOLL_N:
+            continue
+        n, s1, s2 = len(w), sum(w), sum(v * v for v in w)
+        dev = n * cents[i] - s1
+        exp.append((i * 1_000_000, dev * dev * (n - 1) > 4 * n * (n * s2 - s1 * s1)))
+
+    state = FakeState()
+    got = []
+    split = len(rows) // 2
+    for chunk in (rows[:split], rows[split:], rows[:split]):  # 3rd = re-delivery
+        out = list(
+            _bollinger_state_fn(("7",), iter([pd.DataFrame(chunk)]), state)
+        )[0]
+        got.extend(zip(out["ts_us"], out["breach"]))
+    assert [(int(t), bool(b)) for t, b in got] == exp
+    assert any(b for _, b in got)  # the planted 10000-cent spike breaches
