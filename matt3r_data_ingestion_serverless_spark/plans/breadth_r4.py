@@ -584,18 +584,23 @@ def _maxsim_sql() -> str:
     from matt3r_data_ingestion_serverless_spark.functions import vectors
 
     cos = f"{vectors.dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm)"
+    # cosines quantize to integer MICRO-UNITS before the max: the sum of
+    # per-vector bests is then exact bigint arithmetic. (A first version
+    # summed 6-dp-rounded doubles and re-rounded — but that sum lands on
+    # a 6-dp boundary BY CONSTRUCTION, so partial-sum order flipped the
+    # last digit between runs. Quantize-then-integer kills the class.)
     return f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 n AS (SELECT vec_id, label, v, {vectors.l2_norm_sql('v')} AS nrm FROM e),
 best AS (
   SELECT a.label AS label_a, b.label AS label_b, a.vec_id,
-         max(round({cos}, 6)) AS best_cos
+         max(CAST(floor(({cos}) * 1e6 + 0.5) AS BIGINT)) AS best_micro
   FROM n a JOIN n b ON a.label != b.label
   GROUP BY a.label, b.label, a.vec_id
 )
 SELECT label_a, label_b, count(*) AS n_query_vecs,
-       round(sum(best_cos), 6) AS maxsim_sum,
-       round(sum(best_cos) / count(*), 6) AS maxsim_avg
+       CAST(sum(best_micro) AS BIGINT) AS maxsim_sum_micro,
+       round(sum(best_micro) / CAST(count(*) AS DOUBLE), 6) AS maxsim_avg_micro
 FROM best GROUP BY label_a, label_b
 """
 
@@ -615,10 +620,10 @@ def ns_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batch of query vectors scores as ONE matmul, takes per-row
     maxes per target label, and emits per-(label_a,label_b) PARTIAL
     sums that a final hash agg combines — a per-row max is complete
-    within its batch row, so partials compose exactly. Cosines round
-    to 6 dp BEFORE the max so an ulp difference can't pick a different
-    argmax; the oracle is the plain pair-join formulation of the same
-    rounded math."""
+    within its batch row, so partials compose exactly. Cosines quantize
+    to integer micro-units BEFORE the max (engine-stable argmax, exact
+    bigint sums — see the SQL-side note); the oracle is the plain
+    pair-join formulation of the same quantized math."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
 
     pdf_all = emb.select("vec_id", "label", "embedding").toPandas()
@@ -636,7 +641,9 @@ def ns_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             Xa = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             na = np.linalg.norm(Xa, axis=1)
             la = pdf["label"].to_numpy()
-            sims = np.round((Xa @ Xc.T) / np.outer(na, nrm_c), 6)
+            sims = np.floor((Xa @ Xc.T) / np.outer(na, nrm_c) * 1e6 + 0.5).astype(
+                np.int64
+            )
             out = {"label_a": [], "label_b": [], "s": [], "n": []}
             for lb in labels_u:
                 col = sims[:, lab_c == lb]
@@ -649,12 +656,12 @@ def ns_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows = la == la_v
                     out["label_a"].append(int(la_v))
                     out["label_b"].append(int(lb))
-                    out["s"].append(float(m[rows].sum()))
+                    out["s"].append(int(m[rows].sum()))
                     out["n"].append(int(rows.sum()))
             yield pd.DataFrame(out)
 
     partial = emb.select("vec_id", "label", "embedding").mapInPandas(
-        score, "label_a int, label_b int, s double, n long"
+        score, "label_a int, label_b int, s long, n long"
     )
     return (
         partial.groupBy("label_a", "label_b")
@@ -663,7 +670,9 @@ def ns_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label_a",
             "label_b",
             "n_query_vecs",
-            F.round(F.col("ss"), 6).alias("maxsim_sum"),
-            F.round(F.col("ss") / F.col("n_query_vecs"), 6).alias("maxsim_avg"),
+            F.col("ss").cast("long").alias("maxsim_sum_micro"),
+            F.round(F.col("ss") / F.col("n_query_vecs").cast("double"), 6).alias(
+                "maxsim_avg_micro"
+            ),
         )
     )

@@ -213,7 +213,7 @@ def test_colbert_maxsim_matches_numpy(spark):
     X = np.array([list(r.embedding) for r in emb], dtype=np.float64)
     lab = np.array([r.label for r in emb])
     nrm = np.linalg.norm(X, axis=1)
-    sims = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
+    sims = np.floor((X @ X.T) / np.outer(nrm, nrm) * 1e6 + 0.5).astype(np.int64)
     out = {(r.label_a, r.label_b): r for r in ns_colbert_maxsim(spark, SF_SMOKE).collect()}
     labels = np.unique(lab)
     for la in labels:
@@ -224,10 +224,10 @@ def test_colbert_maxsim_matches_numpy(spark):
             m = sims[np.ix_(rows, cols)].max(axis=1)
             r = out[(la, lb)]
             assert r.n_query_vecs == rows.sum()
-            assert abs(r.maxsim_sum - m.sum()) < 1e-5
-            assert abs(r.maxsim_avg - m.sum() / rows.sum()) < 1e-5
+            assert r.maxsim_sum_micro == int(m.sum())
+            assert abs(r.maxsim_avg_micro - m.sum() / rows.sum()) < 1e-5
     # asymmetry is real: at least one ordered pair differs from its flip
     assert any(
-        abs(out[(a, b)].maxsim_avg - out[(b, a)].maxsim_avg) > 1e-6
+        abs(out[(a, b)].maxsim_avg_micro - out[(b, a)].maxsim_avg_micro) > 1
         for a in labels for b in labels if a < b
     )
