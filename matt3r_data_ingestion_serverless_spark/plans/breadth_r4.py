@@ -676,3 +676,118 @@ def ns_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING_ID markers + gaps-and-islands activity streaks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_id_rollup",
+    sql="""
+SELECT coalesce(o_orderstatus, '<total>') AS status,
+       coalesce(o_orderpriority, '<total>') AS priority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers: the only reliable way to tell a
+    subtotal row from a data row whose key is genuinely NULL — the
+    marker columns (0 = real key, 1 = rolled up) are what reporting
+    layers switch on; coalescing the keys to '<total>' then makes the
+    output join- and hash-stable. rollup_returns covers the aggregate
+    shape; this grades the GROUPING metadata surface itself.
+
+    Scale: a rollup is one hash agg producing all grouping sets in a
+    single pass (each input row expands to its set combinations
+    map-side) — no per-level re-scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<total>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<total>")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "revenue_cents",
+        )
+    )
+
+
+@register(
+    "user_activity_streaks",
+    sql="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT)
+           AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, count(*) AS len,
+         strftime(min(d), '%Y-%m-%d') AS streak_start
+  FROM isl GROUP BY user_id, island
+),
+best AS (
+  SELECT user_id, len AS longest_streak_days, streak_start,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, streak_start) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_streaks
+  FROM streaks
+)
+SELECT user_id, CAST(longest_streak_days AS BIGINT) AS longest_streak_days,
+       streak_start, CAST(n_streaks AS BIGINT) AS n_streaks
+FROM best WHERE rn = 1
+""",
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days, via the classic date-minus-row_number island key (consecutive
+    dates collapse to one constant) — the retention/engagement streak
+    metric, and the canonical SQL pattern the windowed-run family (W2)
+    generalizes to calendar granularity.
+
+    Scale: the distinct-day shrink runs first (activity collapses to
+    ≤ 365 rows/user/year no matter the event volume), then one window
+    partition per user and two tiny aggs — all on the same user_id
+    hash. Ties for longest streak break on earliest start date."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        "d",
+        F.date_sub("d", F.row_number().over(w)).alias("island"),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count("*").alias("len"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(F.desc("len"), F.asc("streak_start"))
+    best = streaks.select(
+        "user_id",
+        F.col("len").cast("long").alias("longest_streak_days"),
+        "streak_start",
+        F.row_number().over(wb).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).cast("long").alias("n_streaks"),
+    )
+    return best.filter(F.col("rn") == 1).drop("rn")

@@ -231,3 +231,49 @@ def test_colbert_maxsim_matches_numpy(spark):
         abs(out[(a, b)].maxsim_avg_micro - out[(b, a)].maxsim_avg_micro) > 1
         for a in labels for b in labels if a < b
     )
+
+
+def test_grouping_id_rollup_levels(spark):
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r4 import (
+        grouping_id_rollup,
+    )
+
+    rows = grouping_id_rollup(spark, SF_SMOKE).collect()
+    orders = load_table(spark, SF_SMOKE, "orders").collect()
+    total = [r for r in rows if r.g_status == 1 and r.g_priority == 1]
+    assert len(total) == 1 and total[0].n_orders == len(orders)
+    assert total[0].status == "<total>" and total[0].priority == "<total>"
+    # level sums reconcile: per-status subtotals == grand total
+    subs = [r for r in rows if r.g_status == 0 and r.g_priority == 1]
+    assert sum(r.n_orders for r in subs) == len(orders)
+    leaves = [r for r in rows if r.g_status == 0 and r.g_priority == 0]
+    assert sum(r.revenue_cents for r in leaves) == total[0].revenue_cents
+
+
+def test_activity_streaks_matches_python(spark):
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r4 import (
+        user_activity_streaks,
+    )
+    import datetime as dt
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    by_user = defaultdict(set)
+    for r in ev:
+        by_user[r.user_id].add(r.ts.date())
+    out = {r.user_id: r for r in user_activity_streaks(spark, SF_SMOKE).collect()}
+    for uid, ds in by_user.items():
+        days = sorted(ds)
+        streaks = []
+        start = prev = days[0]
+        for d in days[1:]:
+            if (d - prev).days == 1:
+                prev = d
+            else:
+                streaks.append((start, (prev - start).days + 1))
+                start = prev = d
+        streaks.append((start, (prev - start).days + 1))
+        best = max(streaks, key=lambda s: (s[1], -s[0].toordinal()))
+        r = out[uid]
+        assert r.longest_streak_days == best[1]
+        assert r.streak_start == best[0].strftime("%Y-%m-%d")
+        assert r.n_streaks == len(streaks)
