@@ -791,3 +791,172 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(Window.partitionBy("user_id")).cast("long").alias("n_streaks"),
     )
     return best.filter(F.col("rn") == 1).drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# 1-D Kalman filtering + interval-complement (idle-gap) algebra
+# ---------------------------------------------------------------------------
+
+_KAL_Q, _KAL_R = 0.25, 1.0  # process / measurement noise (binary-exact)
+
+
+@register(
+    "ts_kalman_1d",
+    # recursive-CTE oracle for the same reason as ts_holt_linear:
+    # DuckDB's list_reduce cannot thread a two-field struct state with
+    # simultaneous-assignment semantics.
+    sql=f"""
+WITH RECURSIVE
+r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k
+  FROM events
+),
+nn AS (SELECT user_id, max(k) AS n FROM r GROUP BY user_id),
+rec AS (
+  SELECT user_id, 1 AS k, value AS x, CAST(1.0 AS DOUBLE) AS p FROM r WHERE k = 1
+  UNION ALL
+  SELECT s.user_id, s.k + 1,
+         s.x + ((s.p + {_KAL_Q}) / ((s.p + {_KAL_Q}) + {_KAL_R}))
+               * (r.value - s.x),
+         (1.0 - ((s.p + {_KAL_Q}) / ((s.p + {_KAL_Q}) + {_KAL_R})))
+               * (s.p + {_KAL_Q})
+  FROM rec s JOIN r ON r.user_id = s.user_id AND r.k = s.k + 1
+)
+SELECT rec.user_id, CAST(n AS BIGINT) AS n_obs,
+       round(x, 6) AS kalman_estimate, round(p, 6) AS kalman_variance
+FROM rec JOIN nn ON rec.user_id = nn.user_id
+WHERE k = n AND n >= 2
+""",
+)
+def ts_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (constant-state model, q = 0.25, r = 1.0) over
+    each user's value stream: the optimal recursive estimator — per
+    step the gain K = (P+q)/(P+q+r) blends prediction and measurement,
+    and the error variance P contracts toward its steady state. Like
+    Holt this is a TWO-state fold (estimate, variance) with the extra
+    wrinkle of a per-step DIVISION, done as a struct-accumulator
+    aggregate() over the time-sorted values.
+
+    Determinism: the gain expression is repeated textually instead of
+    bound to a local (identical IEEE op sequence in both dialects —
+    division included, IEEE-exact given identical operands); noise
+    constants are binary-exact. Scale: one shuffle on user_id, state is
+    two doubles; unbounded keys move to the incremental stateful-stream
+    fold like EWMA/Holt."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("ts_us"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("value").alias("v"),
+                )
+            )
+        ),
+        lambda s: s["v"],
+    )
+    init = F.struct(
+        F.element_at(vals, 1).alias("x"), F.lit(1.0).alias("p")
+    )
+    tail = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+
+    def step(acc, z):
+        pp = acc["p"] + F.lit(_KAL_Q)
+        gain = pp / (pp + F.lit(_KAL_R))
+        return F.struct(
+            (acc["x"] + gain * (z - acc["x"])).alias("x"),
+            ((F.lit(1.0) - gain) * pp).alias("p"),
+        )
+
+    st = F.aggregate(tail, init, step)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_obs"), st.alias("st"))
+        .filter(F.col("n_obs") >= 2)
+        .select(
+            "user_id",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.round(F.col("st.x"), 6).alias("kalman_estimate"),
+            F.round(F.col("st.p"), 6).alias("kalman_variance"),
+        )
+    )
+
+
+_BUSY_US = 300 * 1_000_000  # each purchase opens a 5-minute busy window
+
+
+@register(
+    "interval_complement_gaps",
+    sql=f"""
+WITH busy AS (
+  SELECT user_id, epoch_us(ts) AS s_us, epoch_us(ts) + {_BUSY_US} AS e_us
+  FROM events WHERE event_type = 'purchase'
+),
+flagged AS (
+  SELECT user_id, s_us, e_us,
+         CASE WHEN s_us > max(e_us) OVER
+                (PARTITION BY user_id ORDER BY s_us, e_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              OR max(e_us) OVER
+                (PARTITION BY user_id ORDER BY s_us, e_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_grp
+  FROM busy
+),
+merged AS (
+  SELECT user_id, grp, min(s_us) AS s_us, max(e_us) AS e_us
+  FROM (SELECT *, sum(new_grp) OVER
+          (PARTITION BY user_id ORDER BY s_us, e_us
+           ROWS UNBOUNDED PRECEDING) AS grp
+        FROM flagged)
+  GROUP BY user_id, grp
+),
+gaps AS (
+  SELECT user_id, e_us,
+         lead(s_us) OVER (PARTITION BY user_id ORDER BY s_us) AS next_s
+  FROM merged
+)
+SELECT user_id,
+       count(*) AS n_busy_intervals,
+       count(next_s) AS n_gaps,
+       CAST(coalesce(sum(next_s - e_us), 0) AS BIGINT) AS total_gap_us,
+       CAST(coalesce(max(next_s - e_us), 0) AS BIGINT) AS max_gap_us
+FROM gaps GROUP BY user_id
+""",
+)
+def interval_complement_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-set COMPLEMENT: each purchase opens a 5-minute busy
+    window; overlapping windows coalesce (operators/temporal.py, the
+    J2 merge generalized), and the complement within each user's span
+    — the idle gaps — is read off lead(start) − end. Interval algebra's
+    third operation after join (range_interval_join) and union
+    (j2_interval_coalesce); utilization/idle reporting is exactly this
+    complement.
+
+    Scale: one shuffle on user_id feeds the coalesce windows, the gap
+    lead, AND the final agg (same hash). Pure integer µs arithmetic."""
+    from matt3r_data_ingestion_serverless_spark.operators.temporal import (
+        coalesce_intervals,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    busy = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + _BUSY_US).alias("e_us"),
+    )
+    merged = coalesce_intervals(busy, key="user_id", start="s_us", end="e_us")
+    w = Window.partitionBy("user_id").orderBy("s_us")
+    gaps = merged.select(
+        "user_id",
+        "e_us",
+        (F.lead("s_us").over(w) - F.col("e_us")).alias("gap_us"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_busy_intervals"),
+        F.count("gap_us").alias("n_gaps"),
+        F.coalesce(F.sum("gap_us"), F.lit(0)).cast("long").alias("total_gap_us"),
+        F.coalesce(F.max("gap_us"), F.lit(0)).cast("long").alias("max_gap_us"),
+    )

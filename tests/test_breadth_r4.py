@@ -277,3 +277,67 @@ def test_activity_streaks_matches_python(spark):
         assert r.longest_streak_days == best[1]
         assert r.streak_start == best[0].strftime("%Y-%m-%d")
         assert r.n_streaks == len(streaks)
+
+
+def test_kalman_matches_python(spark):
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r4 import (
+        _KAL_Q,
+        _KAL_R,
+        ts_kalman_1d,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    out = {r.user_id: r for r in ts_kalman_1d(spark, SF_SMOKE).collect()}
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        zs = [r.value for r in rows]
+        if len(zs) < 2:
+            assert uid not in out
+            continue
+        x, p = zs[0], 1.0
+        for z in zs[1:]:
+            pp = p + _KAL_Q
+            k = pp / (pp + _KAL_R)
+            x = x + k * (z - x)
+            p = (1.0 - k) * pp
+        r = out[uid]
+        assert r.n_obs == len(zs)
+        assert abs(r.kalman_estimate - x) < 1e-5
+        assert abs(r.kalman_variance - p) < 1e-6
+        # variance must have contracted toward steady state from 1.0
+        assert 0 < r.kalman_variance < 1.0
+
+
+def test_interval_complement_matches_python(spark):
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r4 import (
+        _BUSY_US,
+        interval_complement_gaps,
+    )
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "purchase")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        us = int(r.ts.timestamp() * 1_000_000)
+        by_user[r.user_id].append((us, us + _BUSY_US))
+    out = {r.user_id: r for r in interval_complement_gaps(spark, SF_SMOKE).collect()}
+    for uid, iv in by_user.items():
+        iv.sort()
+        merged = []
+        for s, e in iv:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        gaps = [b[0] - a[1] for a, b in zip(merged, merged[1:])]
+        r = out[uid]
+        assert r.n_busy_intervals == len(merged)
+        assert r.n_gaps == len(gaps)
+        assert r.total_gap_us == sum(gaps)
+        assert r.max_gap_us == (max(gaps) if gaps else 0)
