@@ -960,3 +960,138 @@ def interval_complement_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("gap_us"), F.lit(0)).cast("long").alias("total_gap_us"),
         F.coalesce(F.max("gap_us"), F.lit(0)).cast("long").alias("max_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# filter-cascade attrition audit + sequence pattern matching
+# ---------------------------------------------------------------------------
+
+_CASCADE_MIN_TOKENS = 40
+_CASCADE_LANGS = ("en", "de", "es", "fr")
+_CASCADE_MAX_DUP_FRAC = 0.3
+
+
+@register(
+    "ns_filter_cascade_audit",
+    sql=f"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) >= {_CASCADE_MIN_TOKENS} AS pass_len,
+         lang IN {str(tuple(_CASCADE_LANGS))} AS pass_lang,
+         (1.0 - len(list_distinct(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+             i -> string_split(text, ' ')[i] || chr(31)
+                  || string_split(text, ' ')[i + 1])))
+          / CAST(greatest(len(string_split(text, ' ')) - 1, 1) AS DOUBLE))
+           <= {_CASCADE_MAX_DUP_FRAC} AS pass_rep
+  FROM documents
+)
+SELECT count(*) AS n_input,
+       count(*) FILTER (pass_len) AS after_len,
+       count(*) FILTER (pass_len AND pass_lang) AS after_lang,
+       count(*) FILTER (pass_len AND pass_lang AND pass_rep) AS after_rep,
+       count(*) FILTER (pass_len AND NOT TRUE) + count(*) FILTER (NOT pass_len)
+         AS dropped_len,
+       count(*) FILTER (pass_len AND NOT pass_lang) AS dropped_lang,
+       count(*) FILTER (pass_len AND pass_lang AND NOT pass_rep) AS dropped_rep
+FROM f
+""",
+)
+def ns_filter_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-cascade attrition audit: the dataset-card table every
+    curation run publishes — how many documents each ORDERED filter
+    stage (min length → allowed language → repetition cap) removed,
+    and the survivor count after each. Attribution is first-failing-
+    stage, so the dropped_* columns sum with the final survivors back
+    to the input count.
+
+    Scale: ONE scan computes every stage's boolean per row (no
+    per-stage re-read — the naive pipeline materializes between
+    stages); the audit is a single-row conditional-count agg. The
+    repetition signal reuses the duplicate-bigram fraction
+    (ns_repetition_filter) computed array-side."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    pairs = F.expr(
+        "array_distinct(zip_with(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),"
+        " slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)),"
+        " (a, b) -> struct(a AS w1, b AS w2)))"
+    )
+    dup_frac = F.lit(1.0) - F.size(pairs) / F.greatest(n_tok - 1, F.lit(1)).cast(
+        "double"
+    )
+    f = docs.select(
+        (n_tok >= _CASCADE_MIN_TOKENS).alias("pass_len"),
+        F.col("lang").isin(*_CASCADE_LANGS).alias("pass_lang"),
+        (dup_frac <= _CASCADE_MAX_DUP_FRAC).alias("pass_rep"),
+    )
+    c = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    pl, pg, pr = F.col("pass_len"), F.col("pass_lang"), F.col("pass_rep")
+    return f.agg(
+        F.count("*").alias("n_input"),
+        c(pl).alias("after_len"),
+        c(pl & pg).alias("after_lang"),
+        c(pl & pg & pr).alias("after_rep"),
+        c(~pl).alias("dropped_len"),
+        c(pl & ~pg).alias("dropped_lang"),
+        c(pl & pg & ~pr).alias("dropped_rep"),
+    )
+
+
+_SEQ_PATTERN = "e{2,}p"  # ≥2 consecutive errors immediately before a purchase
+
+
+@register(
+    "event_pattern_match",
+    sql=f"""
+WITH seq AS (
+  SELECT user_id,
+         array_to_string(list(left(event_type, 1) ORDER BY ts, event_id), '')
+           AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(s) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(s, '{_SEQ_PATTERN}')) AS BIGINT) AS n_matches
+FROM seq
+WHERE len(regexp_extract_all(s, '{_SEQ_PATTERN}')) > 0
+""",
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (the MATCH_RECOGNIZE use case, which
+    Spark lacks) via string algebra: each user's event history folds to
+    a compact symbol string — one char per event, time-ordered — and
+    the pattern "two-or-more errors immediately followed by a purchase"
+    becomes one regex, counted per user. Symbol-string
+    encoding turns arbitrary sequence patterns (quantifiers,
+    alternation, anchors) into regexp engine work at one byte per
+    event.
+
+    Scale: one shuffle (the per-user ordered collect); the symbol
+    string is |events-per-user| BYTES — far smaller than the rows it
+    encodes — and the regex scan is linear. For unbounded histories,
+    window the collect by month and overlap one pattern-length."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros("ts").alias("ts_us"),
+                            F.col("event_id").alias("event_id"),
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+            "",
+        ).alias("s")
+    )
+    n_matches = F.size(F.expr(f"regexp_extract_all(s, '{_SEQ_PATTERN}', 0)"))
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        n_matches.cast("long").alias("n_matches"),
+    ).filter(F.col("n_matches") > 0)

@@ -341,3 +341,40 @@ def test_interval_complement_matches_python(spark):
         assert r.n_gaps == len(gaps)
         assert r.total_gap_us == sum(gaps)
         assert r.max_gap_us == (max(gaps) if gaps else 0)
+
+
+def test_filter_cascade_reconciles(spark):
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r4 import (
+        ns_filter_cascade_audit,
+    )
+
+    r = ns_filter_cascade_audit(spark, SF_SMOKE).collect()[0]
+    # first-failing-stage attribution: drops + survivors == input
+    assert r.dropped_len + r.after_len == r.n_input
+    assert r.dropped_lang + r.after_lang == r.after_len
+    assert r.dropped_rep + r.after_rep == r.after_lang
+    assert r.n_input == load_table(spark, SF_SMOKE, "documents").count()
+
+
+def test_event_pattern_match_python(spark):
+    import re
+
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r4 import (
+        _SEQ_PATTERN,
+        event_pattern_match,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    out = {r.user_id: r for r in event_pattern_match(spark, SF_SMOKE).collect()}
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        s = "".join(r.event_type[0] for r in rows)
+        n = len(re.findall(_SEQ_PATTERN, s))
+        if n == 0:
+            assert uid not in out
+        else:
+            assert out[uid].n_matches == n and out[uid].n_events == len(s)
+    assert out, "smoke fixture should contain at least one match"
