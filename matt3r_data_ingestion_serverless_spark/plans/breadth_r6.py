@@ -140,6 +140,95 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cdc_apply(log)
 
 
+@register("cdc_streamed_apply", _cdc_apply_sql("TRUE"))
+def cdc_streamed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC apply as a STREAMING sink, graded in the oracle gate
+    (eighth streamed entry): the change log lands as three files (one
+    per seq generation), a file-source stream delivers them one file
+    per micro-batch, and a foreachBatch merge folds each batch into the
+    at-rest state table — latest-wins BY SEQ, not by arrival, so the
+    sink is correct under ANY file arrival order (the out-of-order
+    protection a real Debezium→lakehouse sink needs). Tombstones are
+    RETAINED in state — dropping them would let a late lower-seq row
+    resurrect a deleted key — and filtered only at read time. Parity
+    with the batch apply (same oracle as cdc_apply_log) proves
+    streamed == batch.
+
+    Scale: each micro-batch shuffles once on the key (batch-local
+    argmax), then merges against state — in production the state table
+    is a partitioned lakehouse table and the merge is MERGE INTO with
+    file pruning on the key range; here it is the same union+argmax
+    plan over parquet snapshots.
+    """
+    import shutil
+    import tempfile
+
+    from matt3r_data_ingestion_serverless_spark.plans.telemetry import (
+        _stream_state_partitions,
+    )
+
+    log = _cdc_log(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_stream_")
+    land = f"{root}/land"
+    for seq in (1, 2, 3):
+        # one file per generation, written in seq order (mtime-ordered
+        # discovery) — though the seq-keyed merge does not rely on it
+        log.filter(F.col("seq") == seq).coalesce(1).write.mode("append").parquet(land)
+    state_dirs: list[str] = []
+
+    def apply_batch(bdf: DataFrame, bid: int) -> None:
+        sp = bdf.sparkSession
+        latest = bdf.groupBy("o_orderkey").agg(
+            F.max_by(F.struct("seq", "op", "cents", "o_orderpriority"), "seq").alias(
+                "r"
+            )
+        )
+        flat = latest.select("o_orderkey", "r.seq", "r.op", "r.cents", "r.o_orderpriority")
+        if state_dirs:
+            prev = sp.read.parquet(state_dirs[-1])
+            flat = (
+                prev.unionByName(flat)
+                .groupBy("o_orderkey")
+                .agg(
+                    F.max_by(
+                        F.struct("seq", "op", "cents", "o_orderpriority"), "seq"
+                    ).alias("r")
+                )
+                .select("o_orderkey", "r.seq", "r.op", "r.cents", "r.o_orderpriority")
+            )
+        out = f"{root}/state_v{bid}"
+        flat.write.mode("overwrite").parquet(out)
+        state_dirs.append(out)
+
+    src = (
+        spark.readStream.schema(log.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    with _stream_state_partitions(spark):
+        (
+            src.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    final = (
+        spark.read.parquet(state_dirs[-1])
+        .filter(F.col("op") != "D")
+        .select(
+            "o_orderkey",
+            "cents",
+            "o_orderpriority",
+            F.col("seq").cast("int").alias("last_seq"),
+            F.col("op").alias("last_op"),
+        )
+        .localCheckpoint(eager=True)  # detach from the temp files before cleanup
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return final
+
+
 # ---------------------------------------------------------------------------
 # exact heavy hitters at scale: Misra–Gries candidates + exact recount
 # ---------------------------------------------------------------------------

@@ -17,6 +17,7 @@ from matt3r_data_ingestion_serverless_spark.plans.breadth_r6 import (
     _mg_candidates,
     apportion_largest_remainder,
     cdc_apply_log,
+    cdc_streamed_apply,
     graph_bfs_levels,
     heavy_hitters_mg_exact,
     ns_feature_hashing,
@@ -113,6 +114,12 @@ def test_cdc_apply_idempotent_under_redelivery(spark):
     once = {tuple(r) for r in _cdc_apply(log).collect()}
     twice = {tuple(r) for r in _cdc_apply(log.unionByName(log)).collect()}
     assert once == twice
+
+
+def test_cdc_streamed_matches_batch(spark):
+    batch = {tuple(r) for r in cdc_apply_log(spark, SF_SMOKE).collect()}
+    streamed = {tuple(r) for r in cdc_streamed_apply(spark, SF_SMOKE).collect()}
+    assert streamed == batch
 
 
 # ---------------------------------------------------------------------------
