@@ -444,16 +444,13 @@ def ns_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus an m=10 prior-smoothed variant. The leakage-safe categorical
     feature every tabular-ML pipeline derives before training.
 
-    Spark-first: two partition-wide window sums (category + global)
-    computed from exact int cents, then per-row arithmetic — no
-    self-join of the table against its own aggregate, no UDF. The
-    output filter keeps the demo small but stats are over ALL rows, so
-    pushdown must NOT move the predicate above the windows; Catalyst
-    keeps it correct because the filter references the window's input
-    column (verified in the plan: Filter sits over Window).
-
-    At 100 TB the per-category window is a single shuffle by category;
-    the global sum is a broadcastable 1-row aggregate (AQE folds it).
+    Spark-first: the category means come from ONE window shuffle by
+    category; the global prior is a 1-row aggregate CROSS-JOINED back
+    as a broadcast — NOT a window `OVER ()`, which would funnel the
+    whole table through a SinglePartition exchange (the plan-shape test
+    pins this). The output filter keeps the demo small but stats are
+    over ALL rows, so the predicate must stay above the windows;
+    Catalyst keeps it correct because it references window inputs.
     """
     o = load_table(spark, sf_dir, "orders")
     t = o.select(
@@ -462,14 +459,14 @@ def ns_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
     wg = Window.partitionBy("o_orderpriority")
-    wa = Window.partitionBy()
+    glob = t.agg(
+        F.sum("cents").alias("s_all"), F.count("*").alias("n_all")
+    )
     w = t.select(
         "*",
         F.sum("cents").over(wg).alias("s_g"),
         F.count("*").over(wg).alias("n_g"),
-        F.sum("cents").over(wa).alias("s_all"),
-        F.count("*").over(wa).alias("n_all"),
-    )
+    ).crossJoin(F.broadcast(glob))
     loo = (F.col("s_g") - F.col("cents")).cast("double") / (F.col("n_g") - 1) / 100.0
     smooth = (
         (

@@ -178,3 +178,56 @@ def test_winnow_reuses_doc_partitioning(spark):
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges <= 3, plan  # spread + hashpartition(doc_id) + agg-side
     assert "Window" in plan, plan
+
+
+def test_cdc_apply_single_shuffle_no_window(spark):
+    """cdc_apply_log's latest-wins must be ONE hash aggregate (partial
+    max_by map-side) — a row_number window formulation would sort every
+    key group; the argmax plan has no Window and at most one wide
+    exchange on the key."""
+    import re
+
+    plan = _plan(spark, "cdc_apply_log")
+    assert "Window" not in plan, plan
+    assert "partial_max_by" in plan, plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 1, plan
+
+
+def test_heavy_hitters_broadcasts_candidates(spark):
+    """The MG candidate set and the total-count row must BROADCAST back
+    onto the token stream — shuffling the exploded corpus against the
+    tiny candidate list would defeat the whole design."""
+    plan = _plan(spark, "heavy_hitters_mg_exact")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_target_encoding_filter_above_window_no_single_partition(spark):
+    """ns_target_encoding_loo: (a) the output filter must NOT push below
+    the window (the encoding means are over ALL rows) — operator ids
+    grow leaf-up, so the Filter's id must exceed the Window's; (b) the
+    global prior must be a broadcast 1-row aggregate, never an OVER ()
+    window funnelling the table through a SinglePartition exchange."""
+    import re
+
+    plan = _plan(spark, "ns_target_encoding_loo")
+    filt = [int(m) for m in re.findall(r"\((\d+)\) Filter", plan)]
+    win = [int(m) for m in re.findall(r"\((\d+)\) Window", plan)]
+    assert filt and win, plan
+    assert max(filt) > max(win), plan
+    # every window must partition on the category — an unpartitioned
+    # OVER () spec would single-partition the whole table (the 1-row
+    # global agg's own SinglePartition exchange is fine: it carries one
+    # row per mapper, not the data)
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert specs and all("o_orderpriority" in s for s in specs), plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_ohlc_partial_agg_map_side(spark):
+    """ts_ohlc_bars must partial-aggregate the min_by/max_by map-side so
+    the shuffle carries one row per (type, day) per mapper — never the
+    raw ticks."""
+    plan = _plan(spark, "ts_ohlc_bars")
+    assert "partial_min_by" in plan or "partial_max_by" in plan, plan
