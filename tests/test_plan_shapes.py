@@ -231,3 +231,13 @@ def test_ohlc_partial_agg_map_side(spark):
     raw ticks."""
     plan = _plan(spark, "ts_ohlc_bars")
     assert "partial_min_by" in plan or "partial_max_by" in plan, plan
+
+
+def test_resample_has_no_unbounded_following_frame(spark):
+    """ts_resample_linear: Spark executes (CURRENT ROW, UNBOUNDED
+    FOLLOWING) frames by re-aggregating from each row to the partition
+    end — O(n²) per partition (measured 37 s vs 0.6 s at sf0.1). The
+    forward-neighbour lookup must stay a running frame over the
+    reversed sort."""
+    plan = _plan(spark, "ts_resample_linear")
+    assert "unboundedfollowing$()" not in plan, plan
