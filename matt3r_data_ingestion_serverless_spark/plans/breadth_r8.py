@@ -407,3 +407,188 @@ def ns_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_candidates") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling-quantile outlier fence (windowed percentile frames)
+# ---------------------------------------------------------------------------
+
+_IQR_SQL = f"""
+WITH h AS (
+  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
+         sum(CAST(round(value, 0) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, hr, v,
+         count(*) OVER f AS n,
+         quantile_cont(v, 0.25) OVER f AS q25,
+         quantile_cont(v, 0.75) OVER f AS q75
+  FROM h
+  WINDOW f AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, hr, CAST(v AS BIGINT) AS v,
+       CASE WHEN n = 24 THEN {round6_sql("q25")} END AS q25,
+       CASE WHEN n = 24 THEN {round6_sql("q75")} END AS q75,
+       CASE WHEN n = 24
+            THEN v < q25 - 1.5 * (q75 - q25) OR v > q75 + 1.5 * (q75 - q25)
+       END AS is_outlier
+FROM w
+"""
+
+
+@register("ts_rolling_iqr_outliers", _IQR_SQL)
+def ts_rolling_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Tukey-fence outlier detection: per channel, the trailing
+    24-hour interquartile range flags hourly totals outside
+    [q25 − 1.5·IQR, q75 + 1.5·IQR] — the robust anomaly monitor that,
+    unlike ts_anomaly_zscore's mean/σ, a single spike cannot poison.
+
+    This exercises EXACT PERCENTILES AS WINDOW FRAME AGGREGATES
+    (percentile() OVER rolling rows — the one window/agg combination no
+    other query covers). Determinism: frame inputs are exact int64
+    hourly sums; both engines linearly interpolate the sorted frame at
+    (n−1)·q with the same formula, so q25/q75 and the fence comparisons
+    agree bit-for-bit. The fence itself compares UNROUNDED doubles
+    (rounding only the reported quantiles) — rounding before comparing
+    could flip a boundary verdict differently per engine.
+
+    Scale: the window runs over hours (25 rows/channel-day), not
+    events; per-frame interpolation cost is O(frame log frame)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias("hr"),
+    ).agg(F.sum(F.round(F.col("value"), 0).cast("long")).alias("v"))
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-23, 0)
+    )
+    w = h.select(
+        "event_type",
+        "hr",
+        "v",
+        F.count("*").over(f).alias("n"),
+        F.expr("percentile(v, 0.25)").over(f).alias("q25"),
+        F.expr("percentile(v, 0.75)").over(f).alias("q75"),
+    )
+    iqr = F.col("q75") - F.col("q25")
+    full = F.col("n") == 24
+    return w.select(
+        "event_type",
+        "hr",
+        "v",
+        F.when(full, round6(F.col("q25"))).alias("q25"),
+        F.when(full, round6(F.col("q75"))).alias("q75"),
+        F.when(
+            full,
+            (F.col("v") < F.col("q25") - 1.5 * iqr)
+            | (F.col("v") > F.col("q75") + 1.5 * iqr),
+        ).alias("is_outlier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN classification over the embedding corpus
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+
+
+def _knn_sql() -> str:
+    from matt3r_data_ingestion_serverless_spark.functions import vectors
+    from matt3r_data_ingestion_serverless_spark.plans.northstar import _emb_norm_cte
+
+    cos = f"{vectors.dot_sql('q.v', 't.v')} / (q.nrm * t.nrm)"
+    return f"""
+WITH {_emb_norm_cte()},
+lbl AS (SELECT vec_id, label FROM embeddings),
+q AS (SELECT n.vec_id, v, nrm, label FROM n JOIN lbl USING (vec_id)
+      WHERE n.vec_id % 10 = 0),
+t AS (SELECT n.vec_id, v, nrm, label FROM n JOIN lbl USING (vec_id)
+      WHERE n.vec_id % 10 != 0),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label, t.label AS nbr_label,
+         t.vec_id AS nbr_id, round({cos}, 6) AS cs
+  FROM q JOIN t ON TRUE
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, nbr_id) AS rk
+  FROM scored
+),
+votes AS (
+  SELECT query_id, true_label, nbr_label, count(*) AS c, min(nbr_id) AS first_nbr
+  FROM ranked WHERE rk <= {_KNN_K}
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, CAST(true_label AS INT) AS true_label,
+       CAST(arg_max(nbr_label, c * 1000000 - nbr_label) AS INT) AS pred_label,
+       CAST(max(c) AS BIGINT) AS top_votes,
+       (arg_max(nbr_label, c * 1000000 - nbr_label) = true_label) AS correct
+FROM votes GROUP BY query_id, true_label
+"""
+
+
+@register("ns_knn_classify", sql=_knn_sql())
+def ns_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification: every held-out embedding (vec_id % 10 = 0)
+    takes the majority label of its 5 nearest training neighbours by
+    cosine — the lazy-learning baseline every embedding-quality audit
+    starts with (and the label-propagation primitive for weakly
+    labeled corpora).
+
+    Composition on the ANN machinery: brute-force scores (the corpus is
+    broadcast-joinable here; at scale the IVF/LSH candidate path from
+    ns_ann_ivf_topk slots in unchanged), per-query top-k window, then a
+    majority vote as arg_max over (votes ‖ −label) — the composite
+    integer key makes the tie-break (fewest-first label) explicit and
+    engine-exact. Ranking uses the 6-dp-rounded cosine with neighbour-id
+    tie-break, the repo's standard for float-order-free top-k."""
+    from matt3r_data_ingestion_serverless_spark.functions import vectors
+    from matt3r_data_ingestion_serverless_spark.plans.northstar import _emb_normed
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n = _emb_normed(spark, sf_dir).join(emb, "vec_id")
+    q = n.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("label").alias("true_label"),
+    )
+    t = n.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("v").alias("tv"),
+        F.col("nrm").alias("tn"),
+        F.col("label").alias("nbr_label"),
+    )
+    cs = F.round(
+        vectors.cosine(F.col("qv"), F.col("tv"), F.col("qn"), F.col("tn")), 6
+    )
+    scored = F.broadcast(q).crossJoin(t).select(
+        "query_id", "true_label", "nbr_label", "nbr_id", cs.alias("cs")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("nbr_id"))
+    )
+    top = scored.withColumn("rk", rk).filter(F.col("rk") <= _KNN_K)
+    votes = top.groupBy("query_id", "true_label", "nbr_label").agg(
+        F.count("*").alias("c")
+    )
+    vote_key = F.col("c") * 1_000_000 - F.col("nbr_label")
+    return (
+        votes.groupBy("query_id", "true_label")
+        .agg(
+            F.max_by("nbr_label", vote_key).cast("int").alias("pred_label"),
+            F.max("c").alias("top_votes"),
+        )
+        .select(
+            "query_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            "pred_label",
+            "top_votes",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+    )

@@ -126,3 +126,73 @@ def test_preference_pairs_are_group_extremes(spark):
         assert r.margin_chars == max(t[0] for t in members) - min(
             t[0] for t in members
         )
+
+
+def test_rolling_iqr_matches_python(spark):
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    hours = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        v = int(math.floor(abs(r.value) + 0.5)) * (1 if r.value >= 0 else -1)
+        hours[r.event_type][r.ts.strftime("%Y-%m-%d %H")] += v
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r8 import (
+        ts_rolling_iqr_outliers,
+    )
+
+    got = {
+        (r.event_type, r.hr): r
+        for r in ts_rolling_iqr_outliers(spark, SF_SMOKE).collect()
+    }
+
+    def interp(sorted_vals, q):
+        idx = (len(sorted_vals) - 1) * q
+        lo, hi = int(math.floor(idx)), int(math.ceil(idx))
+        return sorted_vals[lo] + (idx - lo) * (sorted_vals[hi] - sorted_vals[lo])
+
+    for et, by_hr in hours.items():
+        hrs = sorted(by_hr)
+        for i, hr in enumerate(hrs):
+            r = got[(et, hr)]
+            if i < 23:
+                assert r.q25 is None and r.is_outlier is None
+                continue
+            frame = sorted(by_hr[h] for h in hrs[i - 23 : i + 1])
+            q25, q75 = interp(frame, 0.25), interp(frame, 0.75)
+            v = by_hr[hr]
+            expect = v < q25 - 1.5 * (q75 - q25) or v > q75 + 1.5 * (q75 - q25)
+            assert r.is_outlier == expect, (et, hr)
+            assert abs(r.q25 - _round6f(q25)) < 1e-9 and abs(r.q75 - _round6f(q75)) < 1e-9
+
+
+def _round6f(x: float) -> float:
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def test_knn_classify_matches_numpy(spark):
+    import numpy as np
+
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r8 import (
+        ns_knn_classify,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    ids = np.array([r.vec_id for r in emb])
+    X = np.array([list(r.embedding) for r in emb], dtype=np.float64)
+    labels = {r.vec_id: r.label for r in emb}
+    nrm = np.sqrt((X * X).sum(1))
+    qm = ids % 10 == 0
+    got = {r.query_id: r for r in ns_knn_classify(spark, SF_SMOKE).collect()}
+    assert set(got) == set(ids[qm].tolist())
+    for qi in np.where(qm)[0]:
+        cs = X @ X[qi] / (nrm * nrm[qi])
+        cands = [
+            (_round6f(cs[j]), ids[j])
+            for j in np.where(~qm)[0]
+        ]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        top = cands[:5]
+        votes = Counter(labels[i] for _, i in top)
+        pred = max(votes, key=lambda lbl: votes[lbl] * 1_000_000 - lbl)
+        r = got[ids[qi]]
+        assert r.pred_label == pred, ids[qi]
+        assert r.top_votes == max(votes.values())
+        assert r.correct == (pred == labels[ids[qi]])
