@@ -1,0 +1,278 @@
+"""Round-4 batch 6: survival analysis (Kaplan–Meier risk table) and
+distributed PCA (top principal component by power iteration) — the two
+classic "you need a warehouse AND a stats package" workloads, done as
+pure declarative plans with cross-engine-exact arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from matt3r_data_ingestion_serverless_spark.functions.rounding import round6, round6_sql
+from matt3r_data_ingestion_serverless_spark.plans.registry import register
+from matt3r_data_ingestion_serverless_spark.sources.tables import load_table, spread
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier risk table (churn survival over user activity spans)
+# ---------------------------------------------------------------------------
+
+_CHURN_GAP_US = 7 * 86_400_000_000  # inactive ≥ 7 days before corpus end
+
+_KM_SQL = f"""
+WITH bounds AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+u AS (
+  SELECT user_id,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS dur_days,
+         max(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id
+),
+flagged AS (
+  SELECT u.user_id, u.dur_days,
+         CASE WHEN bounds.end_us - u.last_us >= {_CHURN_GAP_US}
+              THEN 1 ELSE 0 END AS churned
+  FROM u, bounds
+),
+per_t AS (
+  SELECT dur_days, count(*) AS n_ending, sum(churned) AS d
+  FROM flagged GROUP BY dur_days
+),
+tot AS (SELECT count(*) AS n_users FROM flagged),
+risk AS (
+  SELECT dur_days, n_ending, d,
+         n_users
+           - coalesce(sum(n_ending) OVER (ORDER BY dur_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM per_t, tot
+)
+SELECT CAST(dur_days AS BIGINT) AS t_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d_churned,
+       {round6_sql("CAST(d AS DOUBLE) / n_risk")} AS hazard
+FROM risk WHERE d > 0
+"""
+
+
+@register("survival_hazard_table", _KM_SQL)
+def survival_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier risk table over user activity spans: duration = days
+    between a user's first and last event; a user "churns" when their
+    last activity is ≥ 7 days before the corpus end (otherwise they are
+    right-censored). For each duration with churn events: the at-risk
+    count (users whose span reached t), churned count, and the discrete
+    hazard d/n — the per-step KM table retention analyses plot. The
+    cumulative survival PRODUCT is deliberately not emitted: a float
+    product folds in engine-dependent order; the per-step table carries
+    strictly more information and is exact-int except the single
+    rounded hazard ratio.
+
+    Scale: one groupBy(user) with map-side combine collapses events to
+    one row per user; everything after runs on the duration histogram
+    (≤ observation-window days), where the reverse-cumulative at-risk
+    count is a tiny prefix-sum window."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    u = ev.groupBy("user_id").agg(
+        F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 86400000000").alias(
+            "dur_days"
+        ),
+        F.max(us).alias("last_us"),
+    )
+    bounds = ev.agg(F.max(us).alias("end_us"))
+    flagged = u.crossJoin(F.broadcast(bounds)).select(
+        "dur_days",
+        ((F.col("end_us") - F.col("last_us")) >= _CHURN_GAP_US).cast("int").alias(
+            "churned"
+        ),
+    )
+    per_t = flagged.groupBy("dur_days").agg(
+        F.count("*").alias("n_ending"), F.sum("churned").alias("d")
+    )
+    tot = flagged.agg(F.count("*").alias("n_users"))
+    prior = (
+        Window.orderBy("dur_days").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = per_t.crossJoin(F.broadcast(tot)).select(
+        "dur_days",
+        "d",
+        (
+            F.col("n_users") - F.coalesce(F.sum("n_ending").over(prior), F.lit(0))
+        ).alias("n_risk"),
+    )
+    return risk.filter(F.col("d") > 0).select(
+        F.col("dur_days").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_churned"),
+        round6(F.col("d").cast("double") / F.col("n_risk")).alias("hazard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA of the class structure: power iteration on the
+# between-class scatter matrix
+# ---------------------------------------------------------------------------
+
+_PCA_Q = 100  # embedding quantization — keeps Σ_c eᵢ·eⱼ safely in int64
+_PCA_ITERS = 6
+
+
+def _pca_sql() -> str:
+    # DuckDB twin: same integer scatter matrix, same ordered list_reduce
+    # folds (sequential left-to-right — matching Spark's aggregate()),
+    # same 6-dp renormalization between iterations.
+    dot = (
+        "list_reduce(list_transform(range(1, 65), k -> m.row[k] * x.v[k]),"
+        " (a, b) -> a + b)"
+    )
+    nrm = "sqrt(list_reduce(list_transform(y, t -> t * t), (a, b) -> a + b))"
+    # iteration chain: x0 → (mult, normalize+round) × _PCA_ITERS
+    chain = ["x0 AS (SELECT list_transform(range(1, 65), k -> 1.0 / 8.0) AS v)"]
+    prev = "x0"
+    for it in range(1, _PCA_ITERS + 1):
+        chain.append(
+            f"it{it} AS (SELECT list(y ORDER BY i) AS y FROM ("
+            f"SELECT m.i, {dot} AS y FROM mrows m, {prev} x))"
+        )
+        chain.append(
+            f"x{it} AS (SELECT list_transform(y, e -> "
+            + round6_sql(f"e / {nrm}")
+            + f") AS v FROM it{it})"
+        )
+        prev = f"x{it}"
+    return f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+           e -> CAST(sign(e) * floor(abs(e) * {_PCA_Q} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+flat AS (
+  SELECT label, unnest(qv) AS val, generate_subscripts(qv, 1) AS dim FROM q
+),
+cls AS (SELECT label, dim, sum(val) AS sc FROM flat GROUP BY 1, 2),
+cnt AS (SELECT label, count(*) AS nc FROM q GROUP BY 1),
+tot AS (SELECT dim, sum(val) AS s FROM flat GROUP BY 1),
+n AS (SELECT count(*) AS n FROM q),
+e AS (
+  SELECT cls.label, cls.dim, n.n * cls.sc - cnt.nc * tot.s AS ev
+  FROM cls JOIN cnt USING (label) JOIN tot USING (dim) CROSS JOIN n
+),
+scatter AS (
+  SELECT a.dim AS i, b.dim AS j, sum(a.ev * b.ev) AS m
+  FROM e a JOIN e b USING (label)
+  GROUP BY 1, 2
+),
+mrows AS (
+  SELECT i, list(CAST(m AS DOUBLE) ORDER BY j) AS row FROM scatter GROUP BY i
+),
+{", ".join(chain)}
+SELECT CAST(k AS INT) AS dim, v[k] * sign(v[1]) AS component
+FROM {prev}, (SELECT unnest(range(1, 65)) AS k)
+"""
+
+
+@register("ns_pca_power_iteration", sql=_pca_sql())
+def ns_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant direction of the BETWEEN-CLASS scatter matrix by six
+    rounds of power iteration — distributed spectral analysis as pure
+    DataFrame algebra. The matrix is Σ_c e_c·e_cᵀ with e_c = N·S_c −
+    n_c·S (S_c = class-sum vector): the count-weighted PCA of the label
+    centroids, i.e. the axis along which the classes separate — the
+    embedding-space diagnostic reported beside kmeans_embeddings and
+    ns_semdedup_clusters. (The raw covariance of this corpus is nearly
+    isotropic — λ₂/λ₁ ≈ 0.98, power iteration would stall by design —
+    while the class scatter has rank ≤ #labels and a real gap; the
+    convergence sanity check in tests asserts cos ≥ 0.98 vs numpy's
+    eigendecomposition.)
+
+    Cross-engine exactness, the hard part, in three moves:
+    1. Quantized integer embeddings (2 decimals) make S_c, S, e_c and
+       every scatter entry an exact int64 (bounds chosen so
+       Σ_c eᵢ·eⱼ cannot overflow) — the O(n·d) class-sum aggregation
+       is the ONLY pass over the data and is order-free.
+    2. Each matrix–vector product folds its 64-term dot product
+       SEQUENTIALLY over j-ordered arrays (Spark aggregate() == DuckDB
+       list_reduce, both left-to-right) — never a parallel SUM of
+       doubles.
+    3. The iterate renormalizes and 6-dp-rounds between iterations (the
+       k-means idiom), and the reported component is sign-fixed by its
+       first coordinate (eigenvectors are sign-ambiguous).
+
+    Scale: the data-sized work is one map-combining shuffle of
+    (label, dim) partial sums; the scatter build is #labels·d² on a
+    tiny DataFrame and the six iterations run on 64 rows —
+    driver-free, broadcast-joined."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda e: (F.signum(e) * F.floor(F.abs(e) * _PCA_Q + 0.5)).cast("long"),
+    )
+    q = emb.select("label", qv.alias("qv"))
+    flat = q.select("label", F.posexplode("qv").alias("dim0", "val")).select(
+        "label", (F.col("dim0") + 1).alias("dim"), "val"
+    )
+    cls = flat.groupBy("label", "dim").agg(F.sum("val").alias("sc"))
+    cnt = q.groupBy("label").agg(F.count("*").alias("nc"))
+    tot = flat.groupBy("dim").agg(F.sum("val").alias("s"))
+    n = q.agg(F.count("*").alias("n"))
+    e = (
+        cls.join(cnt, "label")
+        .join(tot, "dim")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "label",
+            "dim",
+            (F.col("n") * F.col("sc") - F.col("nc") * F.col("s")).alias("ev"),
+        )
+    )
+    eb = e.select(F.col("label"), F.col("dim").alias("j"), F.col("ev").alias("ev_b"))
+    scatter = (
+        e.join(eb, "label")
+        .groupBy(F.col("dim").alias("i"), F.col("j"))
+        .agg(F.sum(F.col("ev") * F.col("ev_b")).alias("m"))
+    )
+    mrows = scatter.groupBy("i").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("j", F.col("m").cast("double").alias("mv")))
+            ),
+            lambda st: st["mv"],
+        ).alias("row")
+    )
+
+    def seq_dot(row, vec):
+        return F.aggregate(
+            F.zip_with(row, vec, lambda r, x: r * x),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    def normalized(df_y):
+        yv = df_y.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "y"))), lambda st: st["y"]
+            ).alias("yv")
+        )
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("yv"), lambda t: t * t),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+        return yv.select(F.transform(F.col("yv"), lambda v: round6(v / nrm)).alias("v"))
+
+    x = F.array_repeat(F.lit(1.0 / 8.0), 64)
+    cur = mrows.select("i", seq_dot(F.col("row"), x).alias("y"))
+    xdf = normalized(cur)
+    for _ in range(_PCA_ITERS - 1):
+        cur = mrows.crossJoin(F.broadcast(xdf)).select(
+            "i", seq_dot(F.col("row"), F.col("v")).alias("y")
+        )
+        xdf = normalized(cur)
+    return xdf.select(
+        F.posexplode(
+            F.transform(F.col("v"), lambda v: v * F.signum(F.element_at(F.col("v"), 1)))
+        ).alias("dim0", "component")
+    ).select((F.col("dim0") + 1).cast("int").alias("dim"), "component")
