@@ -1,0 +1,167 @@
+"""Round-4 batch 9: numerical differentiation of irregular telemetry
+and neighborhood-Jaccard link prediction on the near-dup graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from matt3r_data_ingestion_serverless_spark.functions.rounding import round6, round6_sql
+from matt3r_data_ingestion_serverless_spark.plans.registry import register
+from matt3r_data_ingestion_serverless_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# central-difference derivative of an irregular series
+# ---------------------------------------------------------------------------
+
+_DERIV_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+),
+w AS (
+  SELECT user_id, event_id, t_us, cents,
+         lag(cents)  OVER win AS c_prev, lag(t_us)  OVER win AS t_prev,
+         lead(cents) OVER win AS c_next, lead(t_us) OVER win AS t_next
+  FROM s
+  WINDOW win AS (PARTITION BY user_id ORDER BY t_us, event_id)
+)
+SELECT user_id, event_id, CAST(t_us AS BIGINT) AS t_us,
+       {round6_sql(
+           "CAST(c_next - c_prev AS DOUBLE) * 864.0 "
+           "/ (CAST(t_next - t_prev AS DOUBLE) / 100000000.0)"
+       )} AS deriv_per_day
+FROM w
+WHERE c_prev IS NOT NULL AND c_next IS NOT NULL AND t_next > t_prev
+"""
+
+
+@register("ts_numerical_derivative", _DERIV_SQL)
+def ts_numerical_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Central-difference derivative over an IRREGULARLY sampled series:
+    d/dt at each interior sample = (v₊ − v₋)/(t₊ − t₋), per device —
+    how a telemetry stack derives acceleration from the reference's
+    speed channel (parse_canserver_filtered_log.py:167-169) or power
+    from an energy meter, without resampling first.
+
+    One window (lag + lead share the same sort) per device hash; the
+    quotient derives from exact int64 cents and µs with one fixed
+    double formula (scaled to per-day units), so results match the
+    oracle bit-for-bit. Endpoint samples have no central difference and
+    drop — forward/backward one-sided stencils are the same lag/lead
+    columns if a consumer needs them."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    win = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    w = s.select(
+        "user_id",
+        "event_id",
+        "t_us",
+        F.lag("cents").over(win).alias("c_prev"),
+        F.lag("t_us").over(win).alias("t_prev"),
+        F.lead("cents").over(win).alias("c_next"),
+        F.lead("t_us").over(win).alias("t_next"),
+    )
+    deriv = (
+        (F.col("c_next") - F.col("c_prev")).cast("double")
+        * 864.0
+        / ((F.col("t_next") - F.col("t_prev")).cast("double") / 100000000.0)
+    )
+    return w.filter(
+        F.col("c_prev").isNotNull()
+        & F.col("c_next").isNotNull()
+        & (F.col("t_next") > F.col("t_prev"))
+    ).select("user_id", "event_id", "t_us", round6(deriv).alias("deriv_per_day"))
+
+
+# ---------------------------------------------------------------------------
+# link prediction: neighborhood Jaccard over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_LP_MIN_JACCARD = 0.2
+
+
+def _link_pred_sql() -> str:
+    from matt3r_data_ingestion_serverless_spark.plans.northstar import _minhash_lsh_sql
+
+    pairs = _minhash_lsh_sql().strip()
+    return f"""
+WITH pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+common AS (
+  SELECT e1.src AS u, e2.src AS v, count(*) AS cn
+  FROM edges e1 JOIN edges e2
+    ON e1.dst = e2.dst AND e1.src < e2.src
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT c.u, c.v, c.cn, du.d AS du, dv.d AS dv
+  FROM common c
+  JOIN deg du ON c.u = du.node
+  JOIN deg dv ON c.v = dv.node
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = c.u AND e.dst = c.v)
+)
+SELECT u AS doc_a, v AS doc_b, CAST(cn AS BIGINT) AS common_neighbors,
+       {round6_sql("CAST(cn AS DOUBLE) / (du + dv - cn)")} AS nbr_jaccard
+FROM cand
+WHERE CAST(cn AS DOUBLE) / (du + dv - cn) >= {_LP_MIN_JACCARD}
+"""
+
+
+@register("graph_link_prediction", sql=_link_pred_sql())
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard: for NON-adjacent doc
+    pairs sharing near-dup neighbours, score |N(u)∩N(v)|/|N(u)∪N(v)| —
+    pairs the LSH banding missed but the graph structure implicates
+    (the classic "triangle-closing" candidate generator; in a dedup
+    pipeline these become second-pass exact-verify candidates).
+
+    Shape: common neighbours come from ONE self-join of the edge list
+    on the shared endpoint (the wedge enumeration graph_triangles also
+    uses), degrees broadcast back, existing edges anti-joined away.
+    Work is Σ deg² — bounded for the sparse dup graph; at scale the
+    same plan runs per LSH-partition of the edge list. The Jaccard
+    |N(u)∪N(v)| = du + dv − cn stays exact-integer under the single
+    rounded division."""
+    from matt3r_data_ingestion_serverless_spark.plans.northstar import (
+        ns_dedup_minhash_lsh,
+    )
+
+    pairs = ns_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    e1 = edges.select(F.col("src").alias("u"), F.col("dst").alias("mid"))
+    e2 = edges.select(F.col("src").alias("v"), F.col("dst").alias("mid"))
+    common = (
+        e1.join(e2, "mid")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cn"))
+    )
+    cand = (
+        common.join(edges, (common.u == edges.src) & (common.v == edges.dst), "left_anti")
+        .join(F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du"))), "u")
+        .join(F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))), "v")
+    )
+    jac = F.col("cn").cast("double") / (F.col("du") + F.col("dv") - F.col("cn"))
+    return cand.filter(jac >= _LP_MIN_JACCARD).select(
+        F.col("u").alias("doc_a"),
+        F.col("v").alias("doc_b"),
+        F.col("cn").cast("long").alias("common_neighbors"),
+        round6(jac).alias("nbr_jaccard"),
+    )
