@@ -211,3 +211,150 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.col("r2_g").cast("double") / (2 * F.col("n_g"))).alias("mean_rank"),
         round6(h / corr).alias("h_corrected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SLO burn-rate alerts (multi-window error-budget monitoring)
+# ---------------------------------------------------------------------------
+
+_SLO_TARGET_PERMILLE = 700  # "error" share budget: 30% (the fixture's
+# error channel is ~20% of events, so the budget is exercised, not toy)
+
+_SLO_SQL = f"""
+WITH h AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
+         count(*) AS total,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT hr,
+         sum(errs)  OVER w1 AS e1, sum(total) OVER w1 AS t1,
+         sum(errs)  OVER w6 AS e6, sum(total) OVER w6 AS t6,
+         count(*) OVER w6 AS n6
+  FROM h
+  WINDOW w1 AS (ORDER BY hr ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+         w6 AS (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT hr, CAST(e1 AS BIGINT) AS errs_1h, CAST(t1 AS BIGINT) AS total_1h,
+       {round6_sql(
+           f"(CAST(e1 AS DOUBLE) / t1) / (1.0 - {_SLO_TARGET_PERMILLE} / 1000.0)"
+       )} AS burn_1h,
+       {round6_sql(
+           f"(CAST(e6 AS DOUBLE) / t6) / (1.0 - {_SLO_TARGET_PERMILLE} / 1000.0)"
+       )} AS burn_6h,
+       (n6 = 6
+        AND e1 * 1000 > t1 * (1000 - {_SLO_TARGET_PERMILLE})
+        AND e6 * 1000 > t6 * (1000 - {_SLO_TARGET_PERMILLE})) AS page_alert
+FROM w
+"""
+
+
+@register("slo_burn_alerts", _SLO_SQL)
+def slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE workbook
+    pattern): per hour, the 1-hour and trailing-6-hour error-budget
+    burn rates; a PAGE fires only when BOTH windows burn above 1× —
+    the short window gives reaction speed, the long window suppresses
+    blips. The alert predicate is evaluated in EXACT integer
+    cross-multiplication (e·1000 > t·(1000−SLO)), so no float boundary
+    can page one engine and not the other; the reported burn rates are
+    rounded quotients of the same ints.
+
+    Shape: one hourly pre-agg (map-combining), two frames over one
+    window sort. Per-service in production = add the service key to
+    every partition clause — same plan."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias("hr")
+    ).agg(
+        F.count("*").alias("total"),
+        F.sum((F.col("event_type") == "error").cast("int")).alias("errs"),
+    )
+    w1 = Window.orderBy("hr").rowsBetween(0, 0)
+    w6 = Window.orderBy("hr").rowsBetween(-5, 0)
+    w = h.select(
+        "hr",
+        F.sum("errs").over(w1).alias("e1"),
+        F.sum("total").over(w1).alias("t1"),
+        F.sum("errs").over(w6).alias("e6"),
+        F.sum("total").over(w6).alias("t6"),
+        F.count("*").over(w6).alias("n6"),
+    )
+    budget = 1.0 - _SLO_TARGET_PERMILLE / 1000.0
+    ibudget = 1000 - _SLO_TARGET_PERMILLE
+    return w.select(
+        "hr",
+        F.col("e1").cast("long").alias("errs_1h"),
+        F.col("t1").cast("long").alias("total_1h"),
+        round6((F.col("e1").cast("double") / F.col("t1")) / budget).alias("burn_1h"),
+        round6((F.col("e6").cast("double") / F.col("t6")) / budget).alias("burn_6h"),
+        (
+            (F.col("n6") == 6)
+            & (F.col("e1") * 1000 > F.col("t1") * ibudget)
+            & (F.col("e6") * 1000 > F.col("t6") * ibudget)
+        ).alias("page_alert"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# accounts-receivable aging report
+# ---------------------------------------------------------------------------
+
+_AGING_REF_DATE = "1998-08-02"
+
+_AGING_SQL = f"""
+WITH o AS (
+  SELECT o_custkey,
+         date_diff('day', date_trunc('day', o_orderdate),
+                   DATE '{_AGING_REF_DATE}') AS age_days,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderstatus = 'O'
+),
+b AS (
+  SELECT o_custkey,
+         CASE WHEN age_days <= 30 THEN '0-30'
+              WHEN age_days <= 60 THEN '31-60'
+              WHEN age_days <= 90 THEN '61-90'
+              ELSE '90+' END AS bucket,
+         cents
+  FROM o
+)
+SELECT bucket,
+       count(*) AS n_open_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS outstanding_cents,
+       {round6_sql("CAST(sum(cents) AS DOUBLE) / count(*) / 100.0")} AS avg_value
+FROM b GROUP BY bucket
+"""
+
+
+@register("ar_aging_report", _AGING_SQL)
+def ar_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable aging: open orders ('O') bucketed by age at
+    the reference date (0-30/31-60/61-90/90+ days) with outstanding
+    totals and exposed-customer counts — the finance-ops report every
+    ERP runs nightly, here one conditional-bucket hash agg (plus an
+    exact distinct count) over the scan. Day ages are exact integer
+    datediffs; the only double is the rounded average."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    age = F.datediff(
+        F.lit(_AGING_REF_DATE).cast("date"), F.date_trunc("day", F.col("o_orderdate"))
+    )
+    b = o.select(
+        "o_custkey",
+        F.when(age <= 30, "0-30")
+        .when(age <= 60, "31-60")
+        .when(age <= 90, "61-90")
+        .otherwise("90+")
+        .alias("bucket"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_open_orders"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.sum("cents").alias("outstanding_cents"),
+        round6(F.sum("cents").cast("double") / F.count("*") / 100.0).alias(
+            "avg_value"
+        ),
+    )

@@ -80,3 +80,62 @@ def test_kruskal_wallis_matches_python_ranks(spark):
         assert r.n_g == n_g[et]
         assert abs(r.mean_rank - _round6(r_sum[et] / n_g[et])) < 1e-6, et
         assert abs(r.h_corrected - _round6(h / corr)) < 1e-6, et
+
+
+def test_slo_burn_page_alert_matches_python(spark):
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r15 import (
+        _SLO_TARGET_PERMILLE,
+        slo_burn_alerts,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    hours = defaultdict(lambda: [0, 0])  # hr -> [total, errs]
+    for r in ev:
+        h = hours[r.ts.strftime("%Y-%m-%d %H")]
+        h[0] += 1
+        if r.event_type == "error":
+            h[1] += 1
+    hrs = sorted(hours)
+    got = {r.hr: r for r in slo_burn_alerts(spark, SF_SMOKE).collect()}
+    assert set(got) == set(hrs)
+    ib = 1000 - _SLO_TARGET_PERMILLE
+    for i, hr in enumerate(hrs):
+        t1, e1 = hours[hr][0], hours[hr][1]
+        win6 = hrs[max(0, i - 5) : i + 1]
+        t6 = sum(hours[h][0] for h in win6)
+        e6 = sum(hours[h][1] for h in win6)
+        r = got[hr]
+        assert (r.errs_1h, r.total_1h) == (e1, t1), hr
+        expect_page = len(win6) == 6 and e1 * 1000 > t1 * ib and e6 * 1000 > t6 * ib
+        assert r.page_alert == expect_page, hr
+
+
+def test_ar_aging_buckets_match_python(spark):
+    from datetime import date
+
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r15 import (
+        ar_aging_report,
+    )
+
+    o = load_table(spark, SF_SMOKE, "orders").collect()
+    ref = date(1998, 8, 2)
+    agg = defaultdict(lambda: [0, set(), 0])
+    for r in o:
+        if r.o_orderstatus != "O":
+            continue
+        age = (ref - r.o_orderdate.date()).days
+        b = "0-30" if age <= 30 else "31-60" if age <= 60 else "61-90" if age <= 90 else "90+"
+        cents = int(math.floor(abs(r.o_totalprice) * 100 + 0.5))
+        cell = agg[b]
+        cell[0] += 1
+        cell[1].add(r.o_custkey)
+        cell[2] += cents
+    got = {r.bucket: r for r in ar_aging_report(spark, SF_SMOKE).collect()}
+    assert set(got) == set(agg)
+    for b, (n, custs, cents) in agg.items():
+        r = got[b]
+        assert (r.n_open_orders, r.n_customers, r.outstanding_cents) == (
+            n,
+            len(custs),
+            cents,
+        ), b
