@@ -202,11 +202,15 @@ def ns_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = n.select(F.col("vec_id").alias("u"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = n.select(F.col("vec_id").alias("w"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     cos = F.round(vectors.cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6)
-    nb = _pin(
-        a.join(b, F.col("u") != F.col("w"))
+    # evaluate the 64-dim cosine once per UNORDERED pair (u < w), then
+    # mirror — halves the dominant O(n²·d) scan cost (5.9 s → ~3 s at
+    # sf0.1); the ε-graph is symmetric by definition
+    half = (
+        a.join(b, F.col("u") < F.col("w"))
         .filter(cos >= _DBSCAN_EPS)
         .select("u", "w")
     )
+    nb = _pin(half.union(half.select(F.col("w"), F.col("u"))))
     core = nb.groupBy("u").agg(F.count("*").alias("k")).filter(
         F.col("k") >= _DBSCAN_MINPTS
     ).select("u")
