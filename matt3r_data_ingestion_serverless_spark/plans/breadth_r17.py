@@ -253,3 +253,153 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn_j").cast("long").alias("nn_start"),
         F.col("nn_dist_micro").cast("long").alias("dist_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity of the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def _assortativity_sql() -> str:
+    from matt3r_data_ingestion_serverless_spark.plans.northstar import _minhash_lsh_sql
+
+    pairs = _minhash_lsh_sql().strip()
+    return f"""
+WITH pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+de AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM edges e JOIN deg du ON e.src = du.node JOIN deg dv ON e.dst = dv.node
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM de
+)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN {round6_sql(
+                "CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+                " * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+            )} END AS assortativity
+FROM m
+"""
+
+
+@register("graph_assortativity", sql=_assortativity_sql())
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph — the Pearson
+    correlation of endpoint degrees over all directed edges (Newman
+    2002): positive = hubs attach to hubs (one mega-dup-cluster
+    forming), negative = hub-and-spoke (template plus variants). A
+    one-number structural health check for the dedup graph, beside
+    PageRank/triangles/components on the same edges.
+
+    Exact int64 degree power sums over the edge list (two broadcast
+    joins of the degree table), one fixed double formula, NULL for
+    degenerate (regular) graphs."""
+    from matt3r_data_ingestion_serverless_spark.plans.northstar import (
+        ns_dedup_minhash_lsh,
+    )
+
+    pairs = ns_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    de = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("x"))),
+            "src",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    m = de.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    r = (n * F.col("sxy") - sx * sy).cast("double") / (
+        F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+    )
+    return m.select(
+        n.cast("long").alias("n_directed_edges"),
+        F.when((vx > 0) & (vy > 0), round6(r)).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ecological diversity indices of the corpus mix
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_SQL = f"""
+WITH c AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+),
+l AS (
+  SELECT lang, sum(n) AS total, count(*) AS richness, max(n) AS top_n
+  FROM c GROUP BY lang
+),
+simp AS (
+  SELECT lang, sum(n * (n - 1)) AS pair_same FROM c GROUP BY lang
+)
+SELECT l.lang,
+       CAST(l.total AS BIGINT) AS n_docs,
+       CAST(l.richness AS INT) AS source_richness,
+       CASE WHEN l.total > 1 THEN {round6_sql(
+           "1.0 - CAST(simp.pair_same AS DOUBLE)"
+           " / (CAST(l.total AS DOUBLE) * (l.total - 1))"
+       )} END AS simpson_diversity,
+       {round6_sql("CAST(l.top_n AS DOUBLE) / l.total")} AS berger_parker
+FROM l JOIN simp USING (lang)
+"""
+
+
+@register("ns_source_diversity", _DIVERSITY_SQL)
+def ns_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix diversity indices per language: source richness,
+    Simpson's diversity 1 − Σnᵢ(nᵢ−1)/(N(N−1)) (the probability two
+    random docs come from different sources — EXACT integers under one
+    rounded division, unlike entropy's per-term logs), and
+    Berger–Parker dominance (top source share). The dataset-card
+    numbers a corpus curator publishes beside ns_lang_mix_kl's drift
+    check — low diversity in a language flags single-source capture.
+
+    One (lang, source) count agg, two tiny rollups — Simpson's pair
+    form needs no probabilities and no logs, so it is the
+    cross-engine-safest diversity index."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    l = c.groupBy("lang").agg(
+        F.sum("n").alias("total"),
+        F.count("*").alias("richness"),
+        F.max("n").alias("top_n"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("pair_same"),
+    )
+    simpson = 1.0 - F.col("pair_same").cast("double") / (
+        F.col("total").cast("double") * (F.col("total") - 1)
+    )
+    return l.select(
+        "lang",
+        F.col("total").cast("long").alias("n_docs"),
+        F.col("richness").cast("int").alias("source_richness"),
+        F.when(F.col("total") > 1, round6(simpson)).alias("simpson_diversity"),
+        round6(F.col("top_n").cast("double") / F.col("total")).alias("berger_parker"),
+    )
