@@ -36,6 +36,9 @@ def main() -> None:
     entry = importlib.import_module("__spark_entry__")
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        queries = {k: v for k, v in queries.items() if k in only}
 
     from tests.oracle_harness import compare, duckdb_con
 
