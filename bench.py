@@ -122,8 +122,15 @@ def main() -> None:
             break
         compact = trial
     out["queries"] = compact
-    print(json.dumps(out))
+    # Round 2's driver record landed parsed:null — a shutdown-time
+    # StateStore WARN printed AFTER the JSON line, and the driver's
+    # tail-parse picked up the noise instead. Quiesce logging, stop the
+    # session FIRST, and make the JSON line the very last stdout write
+    # (flushed) so nothing can trail it.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

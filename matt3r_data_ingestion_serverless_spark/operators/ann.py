@@ -80,3 +80,187 @@ def blocked_cosine_pairs(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(score, PAIR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# corpus × corpus: distributed blocked GEMM over block-pairs
+# ---------------------------------------------------------------------------
+#
+# Exact all-pairs similarity (ε-graphs at LOW thresholds, prior-max
+# novelty) cannot ride LSH: measured on the test corpus, the SRP band
+# join recalls only ~7 % of cos ≥ 0.3 pairs (the threshold sits far
+# below the near-dup regime where banding concentrates). The exact
+# distributed shape is the classic blocked GEMM: assign each vector to
+# one of B blocks, replicate each block to the B(B+1)/2 unordered
+# block-pairs that contain it (a broadcast equi-join against a
+# B²-row metadata table — NO nested-loop join), shuffle on pair_id,
+# and score each block-pair as dense BLAS inside applyInPandas.
+#
+# Cost model (100 TB): shuffle volume = n·(B+1)·d bytes (each row
+# lands in B+1 pairs); per-task memory = 2·(n/B)·d·8 plus a tiled
+# sims buffer. Pick B ≈ corpus_bytes / target_block_bytes; FLOPs stay
+# O(n²·d) — intrinsic to EXACT low-threshold all-pairs — but the work
+# is evenly sharded across the cluster with no broadcast of the corpus
+# and no O(n²) shuffle rows (only qualifying edges / partial maxima
+# come back).
+
+_TILE = 2048  # rows of the left block scored per BLAS call
+
+
+def _block_pairs_grouped(corpus: DataFrame, num_blocks: int, id_col: str, vec_col: str):
+    """(grouped_df, schema_cols) — corpus replicated to unordered
+    block-pairs, keyed by pair_id, sides tagged 0 (block i) / 1
+    (block j).  blk = id % B keeps dense ids balanced; a hash would do
+    for arbitrary keys."""
+    spark = corpus.sparkSession
+    b = num_blocks
+    pairs = [(i * b + j, i, j) for i in range(b) for j in range(i, b)]
+    pair_df = spark.createDataFrame(pairs, "pair_id INT, bi INT, bj INT")
+    src = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.pmod(F.col(id_col), F.lit(b)).cast("int").alias("_blk"),
+    )
+    left = src.join(
+        F.broadcast(pair_df), src["_blk"] == pair_df["bi"]
+    ).select("pair_id", F.lit(0).alias("_side"), "_id", "_v")
+    right = src.join(
+        F.broadcast(pair_df.filter("bi < bj")), src["_blk"] == pair_df["bj"]
+    ).select("pair_id", F.lit(1).alias("_side"), "_id", "_v")
+    return left.unionByName(right).groupBy("pair_id")
+
+
+def _split_sides(pdf: pd.DataFrame, num_blocks: int):
+    """Returns (ids_l, mat_l, ids_r, mat_r, diag) or None when either
+    side is empty (a block with no rows — nothing to pair). A pair_id
+    i·B+j (i ≤ j) is on the diagonal iff it divides by B+1."""
+    li = pdf["_side"].to_numpy() == 0
+    if not li.any():
+        return None
+    ids_l = pdf["_id"].to_numpy(dtype=np.int64)[li]
+    mat_l = np.stack(pdf["_v"].to_numpy()[li]).astype(np.float64)
+    if li.all():
+        if pdf["pair_id"].iat[0] % (num_blocks + 1) != 0:
+            return None  # off-diagonal pair whose right block is empty
+        return ids_l, mat_l, ids_l, mat_l, True
+    ids_r = pdf["_id"].to_numpy(dtype=np.int64)[~li]
+    mat_r = np.stack(pdf["_v"].to_numpy()[~li]).astype(np.float64)
+    return ids_l, mat_l, ids_r, mat_r, False
+
+
+EDGE_SCHEMA = StructType(
+    [StructField("u", LongType()), StructField("w", LongType())]
+)
+
+
+def blocked_cosine_edges(
+    corpus: DataFrame,
+    threshold: float,
+    *,
+    num_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mirror: bool = False,
+) -> DataFrame:
+    """Exact unordered-pair edge list (u < w) with round(cosine, 6) ≥
+    ``threshold`` — the ε-neighbour graph of DBSCAN — via the blocked
+    GEMM above. Matches the brute-force formulation row for row.
+    ``mirror=True`` emits BOTH directions (u,w) and (w,u) straight from
+    the scoring task — a numpy concat, so a symmetric-neighbour consumer
+    never unions the edge stage with itself (which would run the GEMM
+    twice before any persist kicks in)."""
+
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        sides = _split_sides(pdf, num_blocks)
+        if sides is None:
+            return pd.DataFrame({"u": np.array([], dtype=np.int64), "w": np.array([], dtype=np.int64)})
+        ids_l, mat_l, ids_r, mat_r, diag = sides
+        nrm_l = np.linalg.norm(mat_l, axis=1)
+        nrm_r = nrm_l if diag else np.linalg.norm(mat_r, axis=1)
+        us, ws = [], []
+        for s in range(0, len(ids_l), _TILE):
+            tl = slice(s, s + _TILE)
+            sims = np.round(
+                (mat_l[tl] @ mat_r.T) / np.outer(nrm_l[tl], nrm_r), 6
+            )
+            keep = sims >= threshold
+            if diag:
+                # same block on both sides: u < w picks each unordered
+                # pair once and drops the self-diagonal
+                keep &= ids_l[tl][:, None] < ids_r[None, :]
+            li, ri = np.nonzero(keep)
+            a, b = ids_l[tl][li], ids_r[ri]
+            us.append(np.minimum(a, b))
+            ws.append(np.maximum(a, b))
+        u = np.concatenate(us)
+        w = np.concatenate(ws)
+        if mirror:
+            u, w = np.concatenate([u, w]), np.concatenate([w, u])
+        return pd.DataFrame({"u": u, "w": w})
+
+    return _block_pairs_grouped(corpus, num_blocks, id_col, vec_col).applyInPandas(
+        score, EDGE_SCHEMA
+    )
+
+
+PRIOR_MAX_SCHEMA = StructType(
+    [StructField("vec_id", LongType()), StructField("max_prior_sim", DoubleType())]
+)
+
+
+def blocked_prior_max_sim(
+    corpus: DataFrame,
+    *,
+    num_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact max cosine of each item against every EARLIER item (id
+    order = arrival order) — first-story-detection novelty. Each
+    block-pair emits per-item PARTIAL maxima over the prior items it
+    holds; a final groupBy(id).max combines them, so the shuffle back
+    carries ≤ n·(B+1) tiny rows, never pair-count rows. Items with no
+    prior emit nothing (callers left-join). Maxima are taken over the
+    6-dp-rounded cosine, matching max(round(cos, 6)) in the oracle."""
+
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        sides = _split_sides(pdf, num_blocks)
+        if sides is None:
+            return pd.DataFrame(
+                {
+                    "vec_id": np.array([], dtype=np.int64),
+                    "max_prior_sim": np.array([], dtype=np.float64),
+                }
+            )
+        ids_l, mat_l, ids_r, mat_r, diag = sides
+        nrm_l = np.linalg.norm(mat_l, axis=1)
+        nrm_r = nrm_l if diag else np.linalg.norm(mat_r, axis=1)
+        out_ids, out_max = [], []
+        for (ids_c, mat_c, nrm_c, ids_p, mat_p, nrm_p) in (
+            (ids_l, mat_l, nrm_l, ids_r, mat_r, nrm_r),
+            (ids_r, mat_r, nrm_r, ids_l, mat_l, nrm_l),
+        ):
+            for s in range(0, len(ids_c), _TILE):
+                tl = slice(s, s + _TILE)
+                sims = np.round(
+                    (mat_c[tl] @ mat_p.T) / np.outer(nrm_c[tl], nrm_p), 6
+                )
+                sims = np.where(
+                    ids_p[None, :] < ids_c[tl][:, None], sims, -np.inf
+                )
+                mx = sims.max(axis=1, initial=-np.inf)
+                has = mx > -np.inf
+                out_ids.append(ids_c[tl][has])
+                out_max.append(mx[has])
+            if diag:
+                break  # both orientations coincide on the diagonal pair
+        return pd.DataFrame(
+            {"vec_id": np.concatenate(out_ids), "max_prior_sim": np.concatenate(out_max)}
+        )
+
+    partial = _block_pairs_grouped(corpus, num_blocks, id_col, vec_col).applyInPandas(
+        score, PRIOR_MAX_SCHEMA
+    )
+    return partial.groupBy("vec_id").agg(
+        F.max("max_prior_sim").alias("max_prior_sim")
+    )

@@ -185,32 +185,38 @@ def ns_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the OTHER clustering family beside centroid k-means and SemDeDup
     (finds non-convex groups, needs no k).
 
-    Scale: the ε-neighbour graph is the expensive part — brute force
-    here (corpus is broadcast-sized); at 100 TB the SRP-LSH bucketed
-    pair generation (ns_embedding_neardup_lsh) slots in as the
-    candidate source, and everything downstream (degree count, label
-    propagation, border adoption) is the same bounded-shuffle plan.
-    Border tie-break = MIN core cluster label, which is
-    partitioning-independent (plain DBSCAN's border assignment is
-    visit-order-dependent — unacceptable in a distributed engine)."""
+    Scale: the ε-neighbour graph is the expensive part. ε = 0.3 sits
+    far BELOW the near-dup regime, where SRP-LSH banding loses recall
+    (measured on this corpus: the 4×8 band join finds only ~7 % of
+    cos ≥ 0.3 pairs), so an exact ε-graph cannot ride the LSH
+    candidate source — instead the pair generation is a distributed
+    blocked GEMM (operators/ann.py:blocked_cosine_edges): rows
+    replicate to B(B+1)/2 block-pairs via a broadcast equi-join and
+    each pair scores as dense BLAS in applyInPandas. No
+    BroadcastNestedLoopJoin (pinned in tests/test_plan_shapes.py);
+    shuffle volume n·(B+1)·d, work sharded evenly, only qualifying
+    edges shuffle back. FLOPs stay O(n²·d) — intrinsic to an EXACT
+    low-threshold ε-graph; when ε is in the near-dup regime the LSH
+    band join slots in as a drop-in candidate source. Everything
+    downstream (degree count, label propagation, border adoption) is
+    the same bounded-shuffle plan. Border tie-break = MIN core cluster
+    label, which is partitioning-independent (plain DBSCAN's border
+    assignment is visit-order-dependent — unacceptable in a
+    distributed engine)."""
+    from matt3r_data_ingestion_serverless_spark.operators.ann import (
+        blocked_cosine_edges,
+    )
     from matt3r_data_ingestion_serverless_spark.plans.northstar import (
         _emb_normed,
         _pin,
     )
 
     n = _emb_normed(spark, sf_dir)
-    a = n.select(F.col("vec_id").alias("u"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = n.select(F.col("vec_id").alias("w"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    cos = F.round(vectors.cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6)
-    # evaluate the 64-dim cosine once per UNORDERED pair (u < w), then
-    # mirror — halves the dominant O(n²·d) scan cost (5.9 s → ~3 s at
-    # sf0.1); the ε-graph is symmetric by definition
-    half = (
-        a.join(b, F.col("u") < F.col("w"))
-        .filter(cos >= _DBSCAN_EPS)
-        .select("u", "w")
-    )
-    nb = _pin(half.union(half.select(F.col("w"), F.col("u"))))
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # mirror=True: both edge directions come out of the scoring task
+    # itself, so the GEMM stage materializes exactly ONCE into the pin
+    # (a union-with-self would scan the applyInPandas stage twice)
+    nb = _pin(blocked_cosine_edges(emb, _DBSCAN_EPS, mirror=True))
     core = nb.groupBy("u").agg(F.count("*").alias("k")).filter(
         F.col("k") >= _DBSCAN_MINPTS
     ).select("u")

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from matt3r_data_ingestion_serverless_spark.functions import vectors
 from matt3r_data_ingestion_serverless_spark.functions.rounding import round6, round6_sql
 from matt3r_data_ingestion_serverless_spark.plans.registry import register
-from matt3r_data_ingestion_serverless_spark.sources.tables import load_table
+from matt3r_data_ingestion_serverless_spark.sources.tables import load_table, spread
 
 # ---------------------------------------------------------------------------
 # cohort lifetime-value accumulation
@@ -135,29 +135,27 @@ def ns_first_story_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     before" filter a streaming dedup/alerting pipeline runs on each
     arrival; the very first item is novel by definition.
 
-    Batch formulation: one triangular self-join (prev < cur) with a
-    max-aggregate per item — the 6-dp-rounded cosine keeps the max
-    engine-exact. At scale the prior set is an ANN INDEX queried per
-    arrival (the ns_ann_ivf_topk path) and τ gates on the top-1 hit —
-    same semantics, index-accelerated; the triangular join here is the
-    exact oracle for that cascade."""
+    Batch formulation: the exact prior-max is a distributed blocked
+    GEMM (operators/ann.py:blocked_prior_max_sim) — rows replicate to
+    unordered block-pairs via a broadcast equi-join, each pair scores
+    as dense BLAS in applyInPandas and emits per-item PARTIAL maxima
+    over the prior items it holds, and a final groupBy(id).max
+    combines them, so only n·(B+1) tiny rows ever shuffle back. No
+    BroadcastNestedLoopJoin / no O(n²) shuffle rows (pinned in
+    tests/test_plan_shapes.py); the 6-dp-rounded cosine keeps the max
+    engine-exact. τ = 0.5 sits below the LSH near-dup regime (the SRP
+    band join recalls ~7 % of such pairs on this corpus), so an exact
+    novelty gate cannot ride the band join; when τ is high, the
+    ns_ann_ivf_topk index cascade slots in with the same output
+    contract."""
+    from matt3r_data_ingestion_serverless_spark.operators.ann import (
+        blocked_prior_max_sim,
+    )
     from matt3r_data_ingestion_serverless_spark.plans.northstar import _emb_normed
 
     n = _emb_normed(spark, sf_dir)
-    cur = n.select(
-        F.col("vec_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
-    prev = n.select(
-        F.col("vec_id").alias("pid"), F.col("v").alias("pv"), F.col("nrm").alias("pn")
-    )
-    cos = F.round(
-        vectors.cosine(F.col("cv"), F.col("pv"), F.col("cn"), F.col("pn")), 6
-    )
-    scored = (
-        cur.join(prev, F.col("pid") < F.col("vec_id"))
-        .groupBy("vec_id")
-        .agg(F.max(cos).alias("max_prior_sim"))
-    )
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    scored = blocked_prior_max_sim(emb)
     return n.select("vec_id").join(scored, "vec_id", "left").select(
         "vec_id",
         "max_prior_sim",

@@ -1,0 +1,163 @@
+"""operators/lakehouse.py: manifest commits, key-range merge pruning,
+snapshot time travel, file-skipping scans (VERDICT r02 next-step 3)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from matt3r_data_ingestion_serverless_spark.operators.lakehouse import LakehouseTable
+from matt3r_data_ingestion_serverless_spark.operators.merge import merge_plan
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="lh_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _base(spark):
+    rows = [(k, k % 10, float(k) * 1.5, "O") for k in range(1, 401)]
+    return spark.createDataFrame(
+        rows, "k BIGINT, grp BIGINT, price DOUBLE, status STRING"
+    ).repartitionByRange(8, "k")
+
+
+def _batch(spark):
+    # keys 1..40 (updates), 1000..1009 (inserts), grp==3 rows are deletes
+    rows = [(k, k % 10, float(k) * 2.0, "U") for k in range(1, 41)] + [
+        (k, k % 10, float(k), "I") for k in range(1000, 1010)
+    ]
+    return spark.createDataFrame(rows, "k BIGINT, grp BIGINT, price DOUBLE, status STRING")
+
+
+def test_create_read_roundtrip(spark, root):
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    assert tbl.current_version() == 1
+    assert tbl.read().count() == 400
+    assert sorted(r.k for r in tbl.read().collect()) == list(range(1, 401))
+
+
+def test_merge_matches_unpruned_merge_plan(spark, root):
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    tbl.merge(
+        _batch(spark),
+        keys=["k"],
+        update_cols=["price", "status"],
+        delete_condition=F.col("grp") == 3,
+    )
+    got = {(r.k, r.grp, r.price, r.status) for r in tbl.read().collect()}
+    want = {
+        (r.k, r.grp, r.price, r.status)
+        for r in merge_plan(
+            _base(spark),
+            _batch(spark),
+            ["k"],
+            update_cols=["price", "status"],
+            delete_condition=F.col("grp") == 3,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_merge_prunes_disjoint_files_by_reference(spark, root):
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    v1_files = {f["path"] for f in tbl.manifest(1)["file_list"]}
+    tbl.merge(_batch(spark), keys=["k"], update_cols=["price", "status"])
+    pruned, total = tbl.last_merge_pruned
+    assert pruned > 0, "contiguous batch must skip disjoint files"
+    # pruned files appear in v2 UNCHANGED — carried by reference
+    v2_files = {f["path"] for f in tbl.manifest(2)["file_list"]}
+    assert len(v1_files & v2_files) == pruned
+    assert total == len(v1_files)
+
+
+def test_time_travel_snapshot_immutable(spark, root):
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    tbl.merge(
+        _batch(spark),
+        keys=["k"],
+        update_cols=["price", "status"],
+        delete_condition=F.col("grp") == 3,
+    )
+    v1 = tbl.read(version=1)
+    assert v1.count() == 400
+    assert v1.filter(F.col("status") != "O").count() == 0
+    assert tbl.read().filter(F.col("status") == "U").count() > 0
+
+
+def test_merge_idempotent_redelivery(spark, root):
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    kw = dict(keys=["k"], update_cols=["price", "status"], delete_condition=F.col("grp") == 3)
+    tbl.merge(_batch(spark), **kw)
+    once = sorted((r.k, r.price, r.status) for r in tbl.read().collect())
+    tbl.merge(_batch(spark), **kw)
+    assert sorted((r.k, r.price, r.status) for r in tbl.read().collect()) == once
+
+
+def test_scan_skips_files_and_loses_no_rows(spark, root):
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    hit, total = tbl.files_scanned({"k": (1, 50)})
+    assert hit < total, "range-clustered table must skip files"
+    got = sorted(
+        r.k for r in tbl.scan({"k": (1, 50)}).filter(F.col("k").between(1, 50)).collect()
+    )
+    assert got == list(range(1, 51))
+
+
+def test_crashed_commit_leaves_table_readable(spark, root):
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    # simulate a writer that died after writing data files but before
+    # publishing: drop orphan files + a .tmp manifest into place
+    orphan = os.path.join(root, "data", "commit-99-dead")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    with open(os.path.join(root, "_manifest", "v2.json.tmp-999"), "w") as f:
+        f.write("{")
+    assert tbl.current_version() == 1
+    assert tbl.read().count() == 400
+
+
+def test_schema_evolution_on_read(spark, root):
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    evolved = _batch(spark).withColumn("tag", F.concat(F.lit("t"), F.col("k")))
+    tbl.merge(evolved, keys=["k"], update_cols=["price", "status", "tag"], evolve_schema=True)
+    out = tbl.read()
+    assert "tag" in out.columns
+    # rows living in untouched (never-rewritten) files project tag=null
+    nulls = out.filter(F.col("tag").isNull()).count()
+    touched = out.filter(F.col("tag").isNotNull()).count()
+    assert touched == _batch(spark).count()
+    assert nulls == 400 - 40  # every base row the batch didn't touch
+    # v1 time travel still reads with the OLD schema
+    assert "tag" not in tbl.read(version=1).columns
+
+
+def test_compact_reduces_files_preserves_rows(spark, root):
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    before = sorted(r.k for r in tbl.read().collect())
+    tbl.compact(target_files=2)
+    man = tbl.manifest()
+    assert man["operation"] == "compact" and man["files"] <= 2
+    assert sorted(r.k for r in tbl.read().collect()) == before
+    # prior snapshot untouched
+    assert tbl.read(version=1).count() == 400
+
+
+def test_vacuum_drops_only_unreferenced_files(spark, root):
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    tbl.merge(_batch(spark), keys=["k"], update_cols=["price", "status"])
+    tbl.compact(target_files=2)
+    rows_before = sorted((r.k, r.price) for r in tbl.read().collect())
+    dropped = tbl.vacuum(retain_versions=1)
+    assert dropped, "superseded files must be reclaimed"
+    # current snapshot fully intact after vacuum
+    assert sorted((r.k, r.price) for r in tbl.read().collect()) == rows_before
+    for rel in dropped:
+        assert not os.path.exists(os.path.join(root, rel))

@@ -241,3 +241,24 @@ def test_resample_has_no_unbounded_following_frame(spark):
     reversed sort."""
     plan = _plan(spark, "ts_resample_linear")
     assert "unboundedfollowing$()" not in plan, plan
+
+
+def test_dbscan_edges_no_nested_loop_join(spark):
+    """ns_dbscan_clusters (round-3 fix): the ε-neighbour graph must come
+    from the blocked-GEMM pair generator — rows replicate to block-pairs
+    via BROADCAST EQUI-joins against a B²-row metadata table, never a
+    non-equi self-join. A BroadcastNestedLoopJoin here is the O(n²)
+    scale-killer the round-2 verdict flagged."""
+    plan = _plan(spark, "ns_dbscan_clusters")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_first_story_no_nested_loop_join(spark):
+    """ns_first_story_detection (round-3 fix): prior-max novelty must use
+    the blocked-GEMM partial-max path — no triangular all-pairs
+    self-join (BroadcastNestedLoopJoin) and no O(n²) shuffle rows."""
+    plan = _plan(spark, "ns_first_story_detection")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
