@@ -242,6 +242,25 @@ class LakehouseTable:
             i for i, e in enumerate(entries) if not any(k in e["stats"] for k in stat_keys)
         }
         candidates = [i for i in range(len(entries)) if i not in hit_ids]
+        if candidates and len(candidates) <= 64:
+            # small manifest: one scan with a per-file ANY(k in range)
+            # flag — map-side partials, no join, no shuffle beyond the
+            # 1-row agg. Past ~64 files the expression list stops
+            # paying; the interval join below takes over.
+            aggs = []
+            for i in candidates:
+                st = entries[i]["stats"]
+                cond = F.lit(True)
+                for k in stat_keys:
+                    if k in st:
+                        lo, hi = st[k]
+                        cond = cond & (F.col(k) >= lo) & (F.col(k) <= hi)
+                aggs.append(F.max(F.when(cond, 1)).alias(f"_f{i}"))
+            row = source_df.agg(*aggs).collect()[0]
+            hit_ids |= {i for i in candidates if row[f"_f{i}"] is not None}
+            touched = [e for i, e in enumerate(entries) if i in hit_ids]
+            untouched = [e for i, e in enumerate(entries) if i not in hit_ids]
+            return touched, untouched
         if candidates:
             from pyspark.sql.types import LongType, StructField, StructType
 
