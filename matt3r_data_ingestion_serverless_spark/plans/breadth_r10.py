@@ -263,14 +263,19 @@ def ns_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return yv.select(F.transform(F.col("yv"), lambda v: round6(v / nrm)).alias("v"))
 
+    # pin the 64-row scatter matrix and the 1-row iterate: without the
+    # lineage cut every iteration's plan re-evaluates the full O(n·d)
+    # class-sum scan and scatter build once per round (measured ~3 s →
+    # ~1.3 s at sf0.1); checkpointing 65 tiny rows costs milliseconds
+    mrows = mrows.localCheckpoint(eager=True)
     x = F.array_repeat(F.lit(1.0 / 8.0), 64)
     cur = mrows.select("i", seq_dot(F.col("row"), x).alias("y"))
-    xdf = normalized(cur)
+    xdf = normalized(cur).localCheckpoint(eager=True)
     for _ in range(_PCA_ITERS - 1):
         cur = mrows.crossJoin(F.broadcast(xdf)).select(
             "i", seq_dot(F.col("row"), F.col("v")).alias("y")
         )
-        xdf = normalized(cur)
+        xdf = normalized(cur).localCheckpoint(eager=True)
     return xdf.select(
         F.posexplode(
             F.transform(F.col("v"), lambda v: v * F.signum(F.element_at(F.col("v"), 1)))
