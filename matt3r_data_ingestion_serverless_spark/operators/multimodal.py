@@ -316,3 +316,118 @@ def wav_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id").mapInPandas(gen, WAV_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec seam, image sibling: PPM (P6) — stdlib-only, end to end
+# ---------------------------------------------------------------------------
+#
+# WAV proved the audio seam; PPM proves the image one. P6 is a genuine
+# binary image container (magic, ASCII header with comments, maxval,
+# raw RGB24 payload) that needs no codec library: synth_ppm writes a
+# valid file — including a comment line, so the parser's comment
+# handling is actually exercised — and decode_ppm is a real header
+# tokenizer + payload reader. ppm_features aggregates the DECODED
+# pixels integer-exactly; the oracle regenerates them arithmetically,
+# so any header-offset, comment-skip, or row-order bug breaks the hash.
+
+PPM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def _ppm_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 5, 6 + doc_id % 3  # (width, height)
+
+
+def synth_ppm(doc_id: int) -> bytes:
+    """Encode the doc's deterministic RGB24 image as a valid P6 file:
+    pixel (y, x, c) = (id·7 + y·13 + x·5 + c·29) mod 256, row-major."""
+    import numpy as np
+
+    w, h = _ppm_dims(doc_id)
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    px = ((doc_id * 7 + y * 13 + x * 5 + c * 29) % 256).astype(np.uint8)
+    header = f"P6\n# synthetic {doc_id}\n{w} {h}\n255\n".encode()
+    return header + px.tobytes()
+
+
+def decode_ppm(data: bytes):
+    """Parse a P6 PPM: tokenize the ASCII header (whitespace-separated
+    magic/width/height/maxval, '#' comments run to end of line), then
+    read the raw RGB payload that starts one whitespace byte after
+    maxval. Returns (width, height, uint8 array of shape (h, w, 3))."""
+    import numpy as np
+
+    pos = 0
+
+    def token() -> bytes:
+        nonlocal pos
+        while pos < len(data):
+            ch = data[pos : pos + 1]
+            if ch.isspace():
+                pos += 1
+            elif ch == b"#":
+                while pos < len(data) and data[pos] != 0x0A:
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        return data[start:pos]
+
+    if token() != b"P6":
+        raise ValueError("not a P6 PPM")
+    w, h, maxval = int(token()), int(token()), int(token())
+    if maxval != 255:
+        raise ValueError("ppm_features expects 8-bit samples")
+    pos += 1  # exactly one whitespace byte separates header and payload
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, px.reshape(h, w, 3)
+
+
+def ppm_features(df: DataFrame) -> DataFrame:
+    """(doc_id) → integer-exact aggregates of the encode→decode
+    round-tripped image: pixel count, per-channel sums, and a
+    position-weighted checksum over the row-major flat payload. Same
+    executor-side contract as wav_features: blobs are encoded, decoded,
+    and reduced inside the Arrow batch loop — nothing but feature rows
+    ever shuffles; a real corpus would arrive via
+    spark.read.format('binaryFile') straight into decode_ppm."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                w, h, px = decode_ppm(synth_ppm(int(doc_id)))
+                v = px.astype(np.int64)
+                flat = v.reshape(-1)
+                i1 = np.arange(1, flat.size + 1, dtype=np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        w * h,
+                        int(v[:, :, 0].sum()),
+                        int(v[:, :, 1].sum()),
+                        int(v[:, :, 2].sum()),
+                        int((flat * i1).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_pixels", "sum_r", "sum_g", "sum_b", "checksum"],
+            )
+
+    return df.select("doc_id").mapInPandas(gen, PPM_SCHEMA)
