@@ -402,16 +402,23 @@ def read_canserver(spark: SparkSession, path: str, device_from: str = "parent") 
 
 
 def read_canserver_stream(
-    spark: SparkSession, path: str, device_from: str = "parent"
+    spark: SparkSession,
+    path: str,
+    device_from: str = "parent",
+    options: dict | None = None,
 ) -> DataFrame:
     """Streaming source: the serverless S3→SNS→SQS fan-out (T1/T2)
     becomes a file-source readStream — new files are discovered natively,
-    with checkpointed exactly-once progress instead of SQS redelivery."""
-    raw = (
+    with checkpointed exactly-once progress instead of SQS redelivery.
+    `options` passes file-source knobs through (e.g. maxFilesPerTrigger
+    to bound per-batch ingest — also how tests replay a multi-batch
+    timeline deterministically)."""
+    reader = (
         spark.readStream.format("binaryFile")
         .option("recursiveFileLookup", "true")
         .schema("path string, modificationTime timestamp, length long, content binary")
-        .load(path)
-        .select("path", "content")
     )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.load(path).select("path", "content")
     return raw.mapInPandas(_decode_partition_fn(device_from), schema=SIGNAL_SCHEMA)

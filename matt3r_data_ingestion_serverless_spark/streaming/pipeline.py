@@ -401,7 +401,11 @@ def stationary_sessions_stream(signals: DataFrame, *, gap: str = "13 seconds") -
 
 
 def speed_ap_joined_stream(
-    signals: DataFrame, *, horizon: str = "5 seconds", watermark: str = "2 seconds"
+    signals: DataFrame,
+    *,
+    horizon: str = "5 seconds",
+    watermark: str = "2 seconds",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each speed sample paired with every
     autopilot-state report from the same device in the trailing
@@ -436,7 +440,14 @@ def speed_ap_joined_stream(
     cond = F.expr(
         f"device_id = ap_device AND a_ts BETWEEN s_ts - interval {horizon} AND s_ts"
     )
-    return speed.join(ap, cond, "inner").select(
+    # how="leftOuter": speed samples with NO autopilot report in the
+    # horizon still emit (null ap columns) — but only once the watermark
+    # passes their join window, i.e. the engine can PROVE no late match
+    # can arrive. Null rows therefore surface a batch or two after their
+    # match window closes; a stream that ends mid-window keeps its tail
+    # rows in state (correct at-least-once semantics, asserted in
+    # tests/test_streaming.py::test_stream_stream_left_outer_join).
+    return speed.join(ap, cond, how).select(
         "device_id", "s_ts", "speed_kph", "a_ts", "ap_state"
     )
 

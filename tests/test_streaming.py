@@ -553,3 +553,57 @@ def test_streamed_bollinger_matches_batch_across_batches(spark, tmp_path):
         got.extend(zip(out["ts_us"], out["breach"]))
     assert [(int(t), bool(b)) for t, b in got] == exp
     assert any(b for _, b in got)  # the planted 10000-cent spike breaches
+
+
+def test_stream_stream_left_outer_join(spark, dirs):
+    # Left-outer interval join with watermark-gated null emission. Three
+    # files replayed as three micro-batches (maxFilesPerTrigger=1,
+    # mtime-ordered): batch 1 has a matched speed sample (t=1s, ap at
+    # 0.5s) and an unmatched one (t=20s, no ap in [15s, 20s]); batch 2
+    # advances both watermarks past the unmatched row's join window;
+    # batch 3 triggers the state eviction that emits its null row. The
+    # engine may only emit a null once the watermark PROVES no late
+    # match can arrive — so the null surfaces in batch 3, not batch 1.
+    import os
+    import pathlib
+
+    _write_raw(dirs, "a.log", [
+        (500, 921, bytes([0x03])),
+        (1000, 599, bytes([0x00, 0x40, 0x1F])),
+        (20_000, 599, bytes([0x00, 0x40, 0x1F])),
+    ])
+    _write_raw(dirs, "b.log", [
+        (40_000, 921, bytes([0x03])),
+        (40_000, 599, bytes([0x00, 0x40, 0x1F])),
+    ])
+    _write_raw(dirs, "c.log", [
+        (60_000, 921, bytes([0x03])),
+        (60_000, 599, bytes([0x00, 0x40, 0x1F])),
+    ])
+    # pin the replay order: the file source orders batches by mtime
+    for i, name in enumerate(("a.log", "b.log", "c.log")):
+        p = pathlib.Path(dirs["raw"], "dev0", name)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+
+    signals = cs.read_canserver_stream(
+        spark, dirs["raw"], options={"maxFilesPerTrigger": "1"}
+    )
+    joined = pl.speed_ap_joined_stream(signals, how="leftOuter")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_left_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT unix_micros(s_ts) AS s_us, ap_state FROM ss_left_join"
+    ).collect()
+    got = {(r.s_us - SYNC_US, r.ap_state) for r in rows}
+    assert got == {
+        (1_000_000, "ACTIVE_NOMINAL"),   # matched in batch 1
+        (20_000_000, None),              # null emitted after eviction
+        (40_000_000, "ACTIVE_NOMINAL"),  # matched in batch 2
+        (60_000_000, "ACTIVE_NOMINAL"),  # matched in batch 3
+    }
