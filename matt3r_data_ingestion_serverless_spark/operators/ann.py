@@ -20,6 +20,7 @@ recall/score oracle over a query subset.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -27,6 +28,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    """6-dp rounding, half AWAY from zero — the same op sequence as the
+    repo-wide round6/round6_sql formula (sign(x)·floor(|x|·1e6+0.5)/1e6)
+    that the paired oracles evaluate, instead of numpy's half-to-even
+    (ADVICE r03: np.round flips values landing exactly on a .5
+    boundary). Residual tolerance: the cosine itself is a BLAS-summed
+    dot while the oracle sums sequentially, so inputs can differ by
+    ulps — a value within an ulp of a 6-dp boundary (or of the
+    threshold after rounding) can still flip in principle. Measured
+    over the test corpora no pair sits that close; the 6-dp round
+    absorbs the rest."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
 
 PAIR_SCHEMA = StructType(
     [
@@ -67,8 +82,7 @@ def blocked_cosine_pairs(
             mat_c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             nrm_c = np.linalg.norm(mat_c, axis=1)
             # (batch × dim) @ (dim × nq) — the BLAS call the fold can't be
-            sims = (mat_c @ mat_q.T) / np.outer(nrm_c, nrm_q)
-            sims = np.round(sims, 6)
+            sims = _round6((mat_c @ mat_q.T) / np.outer(nrm_c, nrm_q))
             keep = (sims >= threshold) & (ids_c[:, None] != ids_q[None, :])
             ci, qi = np.nonzero(keep)
             yield pd.DataFrame(
@@ -105,6 +119,45 @@ def blocked_cosine_pairs(
 # come back).
 
 _TILE = 2048  # rows of the left block scored per BLAS call
+
+# per-SIDE dense block budget per task: one block must comfortably fit
+# an executor-core's working memory twice over (two sides) plus the
+# tiled sims buffer. 64 MiB/side → ≤ ~160 MiB per task at dim 128.
+_TARGET_BLOCK_BYTES = 64 << 20
+_MIN_BLOCKS = 8  # parallelism floor so small corpora still shard
+
+
+def derive_num_blocks(
+    n_rows: int,
+    dim: int,
+    *,
+    target_block_bytes: int = _TARGET_BLOCK_BYTES,
+    min_blocks: int = _MIN_BLOCKS,
+) -> int:
+    """B from the SCALE.md §14 cost model: per-task memory is
+    2·(n/B)·d·8 bytes, so B = ceil(n·d·8 / target_block_bytes) keeps
+    each side under the budget no matter how large the corpus grows —
+    the VERDICT r03 fix for the hard-coded B=8, which at 1000× the
+    rows would have put 125× the memory in every task. Shuffle volume
+    n·(B+1)·d·8 then grows quadratically with n, which is the intrinsic
+    FLOP count of exact all-pairs surfacing in the plan, not a planning
+    defect."""
+    need = math.ceil(max(n_rows, 1) * max(dim, 1) * 8 / target_block_bytes)
+    return max(min_blocks, need)
+
+
+def _resolve_blocks(
+    corpus: DataFrame, num_blocks: int | None, vec_col: str
+) -> int:
+    """One tiny agg job (count + first vector length) when the caller
+    didn't pin B — the same metadata a table format would serve from
+    stats for free."""
+    if num_blocks is not None:
+        return num_blocks
+    row = corpus.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size(vec_col)).alias("d")
+    ).collect()[0]
+    return derive_num_blocks(row["n"] or 0, row["d"] or 0)
 
 
 def _block_pairs_grouped(corpus: DataFrame, num_blocks: int, id_col: str, vec_col: str):
@@ -157,7 +210,7 @@ def blocked_cosine_edges(
     corpus: DataFrame,
     threshold: float,
     *,
-    num_blocks: int = 8,
+    num_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mirror: bool = False,
@@ -168,7 +221,10 @@ def blocked_cosine_edges(
     ``mirror=True`` emits BOTH directions (u,w) and (w,u) straight from
     the scoring task — a numpy concat, so a symmetric-neighbour consumer
     never unions the edge stage with itself (which would run the GEMM
-    twice before any persist kicks in)."""
+    twice before any persist kicks in). ``num_blocks=None`` derives B
+    from the corpus size (derive_num_blocks) so per-task memory stays
+    bounded at any scale."""
+    num_blocks = _resolve_blocks(corpus, num_blocks, vec_col)
 
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         sides = _split_sides(pdf, num_blocks)
@@ -180,8 +236,8 @@ def blocked_cosine_edges(
         us, ws = [], []
         for s in range(0, len(ids_l), _TILE):
             tl = slice(s, s + _TILE)
-            sims = np.round(
-                (mat_l[tl] @ mat_r.T) / np.outer(nrm_l[tl], nrm_r), 6
+            sims = _round6(
+                (mat_l[tl] @ mat_r.T) / np.outer(nrm_l[tl], nrm_r)
             )
             keep = sims >= threshold
             if diag:
@@ -211,7 +267,7 @@ PRIOR_MAX_SCHEMA = StructType(
 def blocked_prior_max_sim(
     corpus: DataFrame,
     *,
-    num_blocks: int = 8,
+    num_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -221,7 +277,11 @@ def blocked_prior_max_sim(
     holds; a final groupBy(id).max combines them, so the shuffle back
     carries ≤ n·(B+1) tiny rows, never pair-count rows. Items with no
     prior emit nothing (callers left-join). Maxima are taken over the
-    6-dp-rounded cosine, matching max(round(cos, 6)) in the oracle."""
+    6-dp-rounded cosine, matching the oracle's rounding formula.
+    ``num_blocks=None`` derives B from the corpus size
+    (derive_num_blocks) so per-task memory stays bounded at any
+    scale."""
+    num_blocks = _resolve_blocks(corpus, num_blocks, vec_col)
 
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         sides = _split_sides(pdf, num_blocks)
@@ -242,8 +302,8 @@ def blocked_prior_max_sim(
         ):
             for s in range(0, len(ids_c), _TILE):
                 tl = slice(s, s + _TILE)
-                sims = np.round(
-                    (mat_c[tl] @ mat_p.T) / np.outer(nrm_c[tl], nrm_p), 6
+                sims = _round6(
+                    (mat_c[tl] @ mat_p.T) / np.outer(nrm_c[tl], nrm_p)
                 )
                 sims = np.where(
                     ids_p[None, :] < ids_c[tl][:, None], sims, -np.inf

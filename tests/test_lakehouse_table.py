@@ -150,6 +150,121 @@ def test_compact_reduces_files_preserves_rows(spark, root):
     assert tbl.read(version=1).count() == 400
 
 
+def test_commit_path_reads_no_parquet_footers(spark, root, monkeypatch):
+    """VERDICT r03 next-step 1: stats are harvested by Spark tasks, so
+    the create/merge/compact commit path must never open a parquet
+    footer on the driver."""
+    import pyarrow.parquet as pq
+
+    def boom(*a, **kw):  # noqa: ANN002
+        raise AssertionError("driver-side parquet footer read on commit path")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    tbl.merge(_batch(spark), keys=["k"], update_cols=["price", "status"])
+    tbl.compact(target_files=2)
+    assert tbl.read().count() == 410
+    # stats still harvested: pruning continues to work
+    hit, total = tbl.files_scanned({"k": (1, 50)})
+    assert 0 < hit
+
+
+def test_commit_conflict_raises_not_overwrites(spark, root):
+    from matt3r_data_ingestion_serverless_spark.operators.lakehouse import (
+        CommitConflictError,
+    )
+
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    other = LakehouseTable(spark, root)
+    files = tbl.manifest(1)["file_list"]
+    other._commit(2, "merge", files, schema_json=tbl.manifest()["schema_json"])
+    with pytest.raises(CommitConflictError):
+        tbl._commit(2, "merge", files, schema_json=tbl.manifest(2)["schema_json"])
+    # the winner's manifest is intact and CURRENT points at it
+    assert tbl.current_version() == 2
+    assert tbl.manifest(2)["operation"] == "merge"
+
+
+def test_concurrent_merges_both_survive(spark, root, monkeypatch):
+    """VERDICT r03 next-step 2: two interleaved writers — the loser
+    retries against the fresh snapshot, so BOTH commits land."""
+    tbl_a = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    tbl_b = LakehouseTable(spark, root)
+    batch_a = spark.createDataFrame(
+        [(k, k % 10, float(k) * 3.0, "A") for k in range(1, 21)],
+        "k BIGINT, grp BIGINT, price DOUBLE, status STRING",
+    )
+    batch_b = spark.createDataFrame(
+        [(k, k % 10, float(k), "B") for k in range(2000, 2010)],
+        "k BIGINT, grp BIGINT, price DOUBLE, status STRING",
+    )
+    orig_commit = LakehouseTable._commit
+    raced = {"done": False}
+
+    def racing_commit(self, version, operation, files, schema_json=None):
+        # just before writer A publishes its merge, writer B's whole
+        # merge lands — A's put-if-absent must fail and A must retry
+        if self is tbl_a and operation == "merge" and not raced["done"]:
+            raced["done"] = True
+            tbl_b.merge(batch_b, keys=["k"], update_cols=["price", "status"])
+        return orig_commit(self, version, operation, files, schema_json=schema_json)
+
+    monkeypatch.setattr(LakehouseTable, "_commit", racing_commit)
+    tbl_a.merge(batch_a, keys=["k"], update_cols=["price", "status"])
+    assert raced["done"]
+    assert tbl_a.current_version() == 3  # create + B's merge + A's merge
+    out = {r.k: (r.price, r.status) for r in tbl_a.read().collect()}
+    assert out[1] == (3.0, "A")  # A's update survived
+    assert out[2000] == (2000.0, "B")  # B's insert survived
+    assert len(out) == 410
+    assert [m["operation"] for m in tbl_a.history()] == ["create", "merge", "merge"]
+
+
+def test_merge_no_hit_insert_false_is_noop(spark, root):
+    """ADVICE r03: when pruning eliminates every target file and
+    insert=False, no source row may sneak in as an insert — and the
+    committed schema must stay the table's."""
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    disjoint = spark.createDataFrame(
+        [(k, float(k), "X") for k in range(5000, 5010)],
+        "k BIGINT, price DOUBLE, status STRING",  # narrower: no grp
+    )
+    tbl.merge(disjoint, keys=["k"], update_cols=["price", "status"], insert=False)
+    assert tbl.current_version() == 2  # merge committed (as a no-op)
+    out = tbl.read()
+    assert out.count() == 400
+    assert out.filter(F.col("k") >= 5000).count() == 0
+    assert set(out.columns) == {"k", "grp", "price", "status"}
+
+
+def test_merge_narrow_source_keeps_table_schema(spark, root):
+    """ADVICE r03: a source batch lacking snapshot columns must not
+    narrow the committed schema."""
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    narrow = spark.createDataFrame(
+        [(k, float(k) * 9.0) for k in range(1, 11)], "k BIGINT, price DOUBLE"
+    )
+    tbl.merge(narrow, keys=["k"], update_cols=["price"])
+    out = tbl.read()
+    assert set(out.columns) == {"k", "grp", "price", "status"}
+    rows = {r.k: (r.grp, r.price, r.status) for r in out.collect()}
+    assert rows[1] == (1, 9.0, "O")  # updated price, untouched grp/status
+    assert rows[300] == (0, 450.0, "O")  # untouched row fully intact
+
+
+def test_history_and_read_after_vacuum(spark, root):
+    """ADVICE r03: vacuum must not break history(); time travel into
+    the reclaimed range raises a clear error, not FileNotFoundError."""
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    tbl.merge(_batch(spark), keys=["k"], update_cols=["price", "status"])
+    tbl.compact(target_files=2)
+    tbl.vacuum(retain_versions=1)
+    assert [m["version"] for m in tbl.history()] == [3]
+    with pytest.raises(ValueError, match="vacuumed"):
+        tbl.read(version=1)
+    assert tbl.read().count() == 410
+
+
 def test_vacuum_drops_only_unreferenced_files(spark, root):
     tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
     tbl.merge(_batch(spark), keys=["k"], update_cols=["price", "status"])
