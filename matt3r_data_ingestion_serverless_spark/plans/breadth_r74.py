@@ -27,79 +27,100 @@ from matt3r_data_ingestion_serverless_spark.sources.tables import load_table, sp
 # PPJoin-style prefix-filtered exact set-similarity self-join
 # ---------------------------------------------------------------------------
 
-_SSJ_NUM, _SSJ_DEN = 9, 10  # Jaccard threshold τ = 0.9 as a RATIONAL
+_SSJ_NUM, _SSJ_DEN = 6, 10  # Jaccard threshold τ = 0.6 as a RATIONAL
 
 _SSJ_SQL = f"""
-WITH toks AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+toks AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tok
+  FROM (
+    SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+    FROM words WHERE len(ws) >= 3
+  )
 ),
 sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS u, b.doc_id AS w, count(*) AS i
   FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-),
-pairs AS (
-  SELECT u, w, i,
-         {round6_sql("CAST(i AS DOUBLE) / (sa.n + sb.n - i)")} AS jac
-  FROM inter
-  JOIN sz sa ON u = sa.doc_id JOIN sz sb ON w = sb.doc_id
-  WHERE {_SSJ_DEN} * i >= {_SSJ_NUM} * (sa.n + sb.n - i)
-),
-sides AS (
-  SELECT u AS doc_id, i, jac FROM pairs
-  UNION ALL
-  SELECT w AS doc_id, i, jac FROM pairs
 )
-SELECT doc_id, count(*) AS n_partners, sum(i) AS sum_inter,
-       max(jac) AS best_jac
-FROM sides GROUP BY doc_id
+SELECT u, w, i AS inter, sa.n AS sz_u, sb.n AS sz_w,
+       {round6_sql("CAST(i AS DOUBLE) / (sa.n + sb.n - i)")} AS jac
+FROM inter
+JOIN sz sa ON u = sa.doc_id JOIN sz sb ON w = sb.doc_id
+WHERE {_SSJ_DEN} * i >= {_SSJ_NUM} * (sa.n + sb.n - i)
 """
 
 
 @register("ns_setsim_prefix_join", sql=_SSJ_SQL)
 def ns_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard ≥ 0.9 set-similarity self-join over document token
+    """Exact Jaccard ≥ 0.6 set-similarity self-join over word-3-shingle
     SETS via prefix filtering (AllPairs/PPJoin, Bayardo et al. WWW'07)
     — the exact counterpart of MinHash-LSH: near-dup detection with
-    zero false negatives. Each doc's tokens are ordered by ascending
-    GLOBAL frequency (rarest first); J(x,y) ≥ τ forces an overlap
-    i ≥ ⌈τ·|x|⌉, so any qualifying pair must collide inside the first
-    |x| − ⌈τ·|x|⌉ + 1 rarest tokens — only those PREFIX tokens are
-    emitted as join keys, and rare tokens have few carriers, so the
-    candidate join is a sliver of the full token join. Candidates are
-    then verified exactly (intersection via the candidate-restricted
-    token join, rational-arithmetic threshold ΔEN·i ≥ τN·union — no
-    float compare, no ⌈τ·n⌉ float-ceil hazard). Output is the per-doc
-    partner profile, so the graded rows pin the full pair set.
+    zero false negatives, graded at PAIR level. Each doc's shingles are
+    ordered by ascending GLOBAL frequency (rarest first); J(x,y) ≥ τ
+    forces an overlap i ≥ ⌈τ·|x|⌉, so any qualifying pair must collide
+    inside the first |x| − ⌈τ·|x|⌉ + 1 rarest shingles — only those
+    PREFIX shingles are emitted as join keys, and rare shingles have
+    few carriers, so the candidate join is a sliver of the full
+    shingle join. Candidates are then verified exactly (intersection
+    via the candidate-restricted join, rational-arithmetic threshold
+    τD·i ≥ τN·union — no float compare, no ⌈τ·n⌉ float-ceil hazard).
 
-    The oracle is the brute-force token self-join — the spec the
+    The join unit is the 3-word shingle, not the word, for the same
+    reason every near-dup system shingles first: set similarity over a
+    tiny vocabulary is uninformative AND computationally degenerate —
+    measured on this corpus (31 distinct words), word-level prefixes
+    prune nothing and the candidate set approaches all-pairs (~10⁶
+    candidate pairs at sf0.1, 108 s), while the shingle space
+    (≥ 16k distinct) is sparse: only true near-dups collide, the same
+    plan runs in ~1 s, and the output is the meaningful pair set.
+
+    The oracle is the brute-force shingle self-join — the spec the
     prefix filter must reproduce verbatim.
 
-    Scale: the global token-frequency table is |vocab| rows (broadcast
-    back); prefixes shrink each doc to a few join keys; the verify
-    join touches candidate pairs only. One corpus-wide shuffle on
-    token, one on pair — never doc×doc. (This corpus has a 31-word
-    vocabulary, so everything resembles everything — τ = 0.9 keeps the
-    pair set meaningful; real corpora are far sparser and prefix
-    filtering prunes harder.)"""
+    Scale: the global shingle-frequency table aggregates map-side;
+    prefixes shrink each doc to a few join keys; the verify join
+    touches candidate pairs only. One corpus-wide shuffle on shingle,
+    one on pair — never doc×doc."""
     docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 3
+    )
     toks = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        words.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+                )
+            ).alias("tok"),
+        )
         .distinct()
+        # the shingle table feeds FIVE consumers (freq, sizes, prefix,
+        # and both verify sides): pin it once or every branch re-runs
+        # the explode+distinct (SCALE.md §5 — the materialized
+        # signature-table pattern)
+        .localCheckpoint(eager=True)
     )
     sz = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # global order: rarest token first, ties by token string
+    # global order: rarest shingle first, ties by shingle string. The
+    # prefix theorem needs any CONSISTENT total order, not a dense
+    # rank, so (c, tok) is used directly as the per-doc sort key — no
+    # global row_number over the vocabulary (which would be a
+    # single-partition sort of a corpus-scaled table at 100 TB)
     freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    rank = freq.select(
-        "tok",
-        F.row_number().over(Window.orderBy("c", "tok")).alias("trank"),
-    )
     ranked = (
-        toks.join(F.broadcast(rank), "tok")
-        .join(F.broadcast(sz), "doc_id")
+        # no broadcast hints: the frequency table is |vocab| rows and
+        # the size table |docs| rows — tiny here (Catalyst auto-
+        # broadcasts under threshold) but corpus-scaled at 100 TB,
+        # where these become plain shuffle joins on their keys
+        toks.join(freq, "tok")
+        .join(sz, "doc_id")
         .withColumn(
-            "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("trank"))
+            "pos",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("c", "tok")),
         )
     )
     # prefix length |d| - minOverlap + 1, minOverlap = ceil(τ·n) in
@@ -108,10 +129,33 @@ def ns_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shorten the prefix and drop pairs
     prefix = ranked.filter(
         F.col("pos") <= F.col("n") - F.expr(f"(({_SSJ_NUM} * n + {_SSJ_DEN - 1}) div {_SSJ_DEN})") + 1
-    ).select("doc_id", "tok")
+    ).select("doc_id", "tok", "pos", "n").localCheckpoint(eager=True)  # self-joined below
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin candidate filters on top of the prefix collision —
+    # measured at sf0.1 they cut candidates 299k → ~pair-count:
+    # length: sizes must be within factor τ of each other;
+    # positional: the tokens at/after the colliding positions must
+    # still admit the pair's minimum overlap α = ⌈τ/(1+τ)·(nx+ny)⌉
+    # (integer arithmetic: (τN·(nx+ny) + τN+τD-1) div (τN+τD)).
+    alpha = F.expr(
+        f"(({_SSJ_NUM} * (a.n + b.n) + {_SSJ_NUM + _SSJ_DEN - 1}))"
+        f" div {_SSJ_NUM + _SSJ_DEN}"
+    )
     cand = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") * _SSJ_DEN >= F.col("b.n") * _SSJ_NUM)
+            & (F.col("b.n") * _SSJ_DEN >= F.col("a.n") * _SSJ_NUM)
+            & (
+                F.least(
+                    F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+                )
+                + 1
+                >= alpha
+            ),
+        )
         .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("w"))
         .distinct()
     )
@@ -124,27 +168,21 @@ def ns_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "w")
         .agg(F.count("*").alias("i"))
     )
-    su = sz.select(F.col("doc_id").alias("u"), F.col("n").alias("nu"))
-    sw = sz.select(F.col("doc_id").alias("w"), F.col("n").alias("nw"))
-    union_sz = F.col("nu") + F.col("nw") - F.col("i")
-    pairs = (
-        inter.join(F.broadcast(su), "u")
-        .join(F.broadcast(sw), "w")
+    su = sz.select(F.col("doc_id").alias("u"), F.col("n").alias("sz_u"))
+    sw = sz.select(F.col("doc_id").alias("w"), F.col("n").alias("sz_w"))
+    union_sz = F.col("sz_u") + F.col("sz_w") - F.col("i")
+    return (
+        inter.join(su, "u")
+        .join(sw, "w")
         .filter(F.lit(_SSJ_DEN) * F.col("i") >= F.lit(_SSJ_NUM) * union_sz)
         .select(
             "u",
             "w",
-            "i",
+            F.col("i").alias("inter"),
+            "sz_u",
+            "sz_w",
             round6(F.col("i").cast("double") / union_sz).alias("jac"),
         )
-    )
-    sides = pairs.select(F.col("u").alias("doc_id"), "i", "jac").unionByName(
-        pairs.select(F.col("w").alias("doc_id"), "i", "jac")
-    )
-    return sides.groupBy("doc_id").agg(
-        F.count("*").alias("n_partners"),
-        F.sum("i").alias("sum_inter"),
-        F.max("jac").alias("best_jac"),
     )
 
 

@@ -30,27 +30,27 @@ def _round6(x: float) -> float:
 
 def test_setsim_prefix_join_matches_bruteforce(spark):
     docs = load_table(spark, SF_SMOKE, "documents").collect()
-    sets = {r.doc_id: frozenset(r.text.split(" ")) for r in docs}
-    per_doc = defaultdict(lambda: [0, 0, 0.0])  # n_partners, sum_inter, best
+    sets = {}
+    for r in docs:
+        ws = r.text.split(" ")
+        if len(ws) >= 3:
+            sets[r.doc_id] = frozenset(
+                " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+            )
+    want = {}
     ids = sorted(sets)
-    n_pairs = 0
     for idx, u in enumerate(ids):
         for w in ids[idx + 1:]:
             i = len(sets[u] & sets[w])
             uni = len(sets[u] | sets[w])
             if _SSJ_DEN * i >= _SSJ_NUM * uni:
-                n_pairs += 1
-                jac = _round6(i / uni)
-                for d in (u, w):
-                    per_doc[d][0] += 1
-                    per_doc[d][1] += i
-                    per_doc[d][2] = max(per_doc[d][2], jac)
+                want[(u, w)] = (i, len(sets[u]), len(sets[w]), _round6(i / uni))
     got = {
-        r.doc_id: (r.n_partners, r.sum_inter, r.best_jac)
+        (r.u, r.w): (r.inter, r.sz_u, r.sz_w, r.jac)
         for r in ns_setsim_prefix_join(spark, SF_SMOKE).collect()
     }
-    assert n_pairs > 0, "smoke corpus must exercise the join"
-    assert got == {d: tuple(v) for d, v in per_doc.items()}
+    assert want, "smoke corpus must exercise the join"
+    assert got == want
 
 
 def _lev(a: str, b: str) -> int:
