@@ -324,3 +324,93 @@ def blocked_prior_max_sim(
     return partial.groupBy("vec_id").agg(
         F.max("max_prior_sim").alias("max_prior_sim")
     )
+
+
+KNN_PARTIAL_SCHEMA = StructType(
+    [StructField("vec_id", LongType()), StructField("sim", DoubleType())]
+)
+
+
+def blocked_kth_nn_sim(
+    corpus: DataFrame,
+    k: int,
+    *,
+    num_blocks: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-th-nearest-neighbour cosine per item against every OTHER
+    item — the classic kNN-distance outlier score (a LOW k-th max
+    similarity means the item sits far from everything; Ramaswamy et
+    al.'s distance-to-kth-neighbour, in cosine form).
+
+    Same distributed blocked GEMM as :func:`blocked_cosine_edges`: each
+    block-pair task computes its dense sims tile, but emits only each
+    item's TOP-k partial similarities within that pair (np.partition —
+    no full sort), so the shuffle back carries ≤ n·B·k tiny rows, never
+    pair-count rows. A final groupBy(id) merges the partials: the k-th
+    largest of the collected candidates equals the global k-th largest
+    because every true top-k neighbour appears in some block-pair's
+    partial top-k (each pair's partial is a superset of the global
+    top-k members that live in that pair). Sims are 6-dp rounded with
+    the repo's half-away formula BEFORE the top-k cut, matching the
+    oracle's kth-of-rounded-values semantics. FLOPs stay O(n²·d) —
+    intrinsic to an exact kNN graph; the LSH candidate source is the
+    documented drop-in when approximate recall is acceptable.
+
+    Returns (vec_id, kth_sim) — items with fewer than k others (corpus
+    smaller than k+1) emit nothing.
+    """
+    num_blocks = _resolve_blocks(corpus, num_blocks, vec_col)
+
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        sides = _split_sides(pdf, num_blocks)
+        if sides is None:
+            return pd.DataFrame(
+                {
+                    "vec_id": np.array([], dtype=np.int64),
+                    "sim": np.array([], dtype=np.float64),
+                }
+            )
+        ids_l, mat_l, ids_r, mat_r, diag = sides
+        nrm_l = np.linalg.norm(mat_l, axis=1)
+        nrm_r = nrm_l if diag else np.linalg.norm(mat_r, axis=1)
+        out_ids, out_sims = [], []
+        for (ids_c, mat_c, nrm_c, ids_p, mat_p, nrm_p) in (
+            (ids_l, mat_l, nrm_l, ids_r, mat_r, nrm_r),
+            (ids_r, mat_r, nrm_r, ids_l, mat_l, nrm_l),
+        ):
+            for s in range(0, len(ids_c), _TILE):
+                tl = slice(s, s + _TILE)
+                sims = _round6(
+                    (mat_c[tl] @ mat_p.T) / np.outer(nrm_c[tl], nrm_p)
+                )
+                if diag:
+                    # self-similarity is not a neighbour
+                    sims = np.where(
+                        ids_p[None, :] == ids_c[tl][:, None], -np.inf, sims
+                    )
+                kk = min(k, sims.shape[1])
+                # partial top-k per row: partition, no full sort
+                top = -np.partition(-sims, kk - 1, axis=1)[:, :kk]
+                rows = np.repeat(ids_c[tl], kk)
+                vals = top.ravel()
+                fin = np.isfinite(vals)
+                out_ids.append(rows[fin])
+                out_sims.append(vals[fin])
+            if diag:
+                break  # both orientations coincide on the diagonal pair
+        return pd.DataFrame(
+            {"vec_id": np.concatenate(out_ids), "sim": np.concatenate(out_sims)}
+        )
+
+    partial = _block_pairs_grouped(corpus, num_blocks, id_col, vec_col).applyInPandas(
+        score, KNN_PARTIAL_SCHEMA
+    )
+    # merge partials: k-th largest of ≤ B·k candidates per item
+    merged = partial.groupBy("vec_id").agg(
+        F.sort_array(F.collect_list("sim"), asc=False).alias("cands")
+    )
+    return merged.filter(F.size("cands") >= k).select(
+        "vec_id", F.element_at("cands", k).alias("kth_sim")
+    )
