@@ -39,6 +39,13 @@ parquet + JSON manifests:
   Catalyst's usual row-group pushdown on top. The snapshot schema is
   applied exactly as in :meth:`read`, so evolved columns survive a
   bounded scan over pre-evolution files;
+- **merge-on-read equality deletes**: ``delete_where(cond, keys)``
+  writes a key-tombstone parquet and commits WITHOUT touching any data
+  file; ``read``/``scan`` anti-join the tombstones (broadcast-sized)
+  and ``compact`` materializes them — Iceberg equality-delete files /
+  Delta deletion vectors in key-level form. ``merge`` over active
+  deletes raises (materialize first) rather than silently reconciling
+  re-inserts against tombstones;
 - **vacuum with retention**: ``vacuum(retain_versions=N)`` reclaims
   data files referenced only by dropped snapshots. ``history()`` starts
   at the oldest RETAINED manifest and ``read(version=...)`` into a
@@ -150,6 +157,8 @@ class LakehouseTable:
         operation: str,
         files: list[dict],
         schema_json: str | None = None,
+        delete_list: list[dict] | None = None,
+        delete_keys: list[str] | None = None,
     ) -> None:
         """Publish ``v<version>.json`` put-if-absent. The manifest is
         fully written to a temp file first, then hard-linked onto its
@@ -167,6 +176,12 @@ class LakehouseTable:
             # without mergeSchema's all-footers read)
             "schema_json": schema_json,
             "file_list": files,
+            # merge-on-read equality deletes (Iceberg equality-delete
+            # files / Delta deletion vectors, key-level form): tombstone
+            # parquet files whose keys are anti-joined out at read time;
+            # data files are never rewritten by a delete
+            "delete_list": delete_list or [],
+            "delete_keys": delete_keys or [],
         }
         tmp = self._manifest_path(version) + f".tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
@@ -280,15 +295,32 @@ class LakehouseTable:
             reader = reader.schema(StructType.fromJson(json.loads(man["schema_json"])))
         return reader
 
+    def _apply_deletes(self, df: DataFrame, man: dict) -> DataFrame:
+        """Merge-on-read: anti-join the snapshot's equality-delete
+        tombstones (union of all delete files, keyed on the manifest's
+        delete_keys). No-op when the snapshot carries no deletes. The
+        tombstone side is key-columns-only and typically tiny — Spark
+        broadcasts it, so the data scan never shuffles."""
+        if not man.get("delete_list"):
+            return df
+        keys = man["delete_keys"]
+        tomb = self.spark.read.parquet(
+            *[os.path.join(self.path, d["path"]) for d in man["delete_list"]]
+        ).select(*keys).distinct()
+        return df.join(F.broadcast(tomb), keys, "left_anti")
+
     def read(self, version: int | None = None) -> DataFrame:
         """The snapshot as a DataFrame — exactly the files the manifest
         lists, so concurrent commits never tear a read. The manifest's
         schema is applied explicitly: files from before a column
         existed project it as null (schema evolution on read, no
-        mergeSchema footer sweep)."""
+        mergeSchema footer sweep). Equality-delete tombstones, if any,
+        are anti-joined out (merge-on-read)."""
         man = self.manifest(version)
         paths = [os.path.join(self.path, f["path"]) for f in man["file_list"]]
-        return self._apply_schema_reader(man).parquet(*paths)
+        return self._apply_deletes(
+            self._apply_schema_reader(man).parquet(*paths), man
+        )
 
     def _split_by_range(
         self, man: dict, bounds: dict[str, tuple]
@@ -320,8 +352,11 @@ class LakehouseTable:
         hit, _ = self._split_by_range(man, bounds)
         if not hit:
             return self.read().limit(0)
-        return self._apply_schema_reader(man).parquet(
-            *[os.path.join(self.path, f["path"]) for f in hit]
+        return self._apply_deletes(
+            self._apply_schema_reader(man).parquet(
+                *[os.path.join(self.path, f["path"]) for f in hit]
+            ),
+            man,
         )
 
     def files_scanned(self, bounds: dict[str, tuple]) -> tuple[int, int]:
@@ -330,6 +365,50 @@ class LakehouseTable:
         man = self.manifest()
         hit, _ = self._split_by_range(man, bounds)
         return len(hit), man["files"]
+
+    def delete_where(self, condition, keys: list[str]) -> "LakehouseTable":
+        """Merge-on-read DELETE: write the matching rows' ``keys`` as an
+        equality-delete tombstone file and commit a snapshot whose DATA
+        file list is byte-identical to the parent's — no data file is
+        read back or rewritten (the Iceberg equality-delete / Delta
+        deletion-vector contract, key-level form). ``read()``/``scan()``
+        anti-join the tombstones out; ``compact()`` materializes them
+        (rewrites the survivors and clears the delete list). Deletes of
+        keys never present are harmless no-ops, like everywhere else.
+
+        Cost: one column-pruned scan to evaluate ``condition`` and
+        write the key file — O(matching keys) written, zero data bytes
+        rewritten. The read-time anti-join costs a broadcast of the
+        accumulated tombstones, which is why compaction periodically
+        folds them in (the same read-amplification trade every
+        merge-on-read format documents)."""
+        man = self.manifest()
+        version = man["version"] + 1
+        sub = os.path.join("data", f"delete-{version}-{uuid.uuid4().hex[:8]}")
+        out = os.path.join(self.path, sub)
+        matching = self.read().filter(condition).select(*keys).distinct()
+        matching.coalesce(1).write.mode("overwrite").parquet(out)
+        n = self.spark.read.parquet(out).count()
+        # reference the tombstone parquet parts individually so vacuum
+        # can account for them file-by-file
+        dl = list(man.get("delete_list") or [])
+        for name in sorted(os.listdir(out)):
+            if name.endswith(".parquet"):
+                dl.append({"path": os.path.join(sub, name), "rows": n})
+        try:
+            self._commit(
+                version,
+                "delete",
+                man["file_list"],
+                schema_json=man.get("schema_json"),
+                delete_list=dl,
+                delete_keys=keys,
+            )
+        except CommitConflictError:
+            shutil.rmtree(out, ignore_errors=True)
+            raise
+        self.last_delete_rows = n
+        return self
 
     def _touched_files(
         self, man: dict, source_df: DataFrame, keys: list[str]
@@ -447,6 +526,15 @@ class LakehouseTable:
         narrowing the table."""
         for attempt in range(max_retries + 1):
             man = self.manifest()
+            if man.get("delete_list"):
+                # a merge over active equality deletes would have to
+                # reconcile re-inserted keys against the tombstones;
+                # honest subset: materialize first (the same "rewrite
+                # before row-level ops" constraint early Delta had)
+                raise ValueError(
+                    "table has unmaterialized equality deletes; run "
+                    "compact() before merge()"
+                )
             stats_cols = getattr(self, "_stats_cols", None) or list(
                 {c for f in man["file_list"] for c in f["stats"]}
             )
@@ -553,11 +641,15 @@ class LakehouseTable:
         cur = self.current_version()
         keep_versions = list(range(max(1, cur - retain_versions + 1), cur + 1))
         keep_files = {
-            f["path"] for v in keep_versions for f in self.manifest(v)["file_list"]
+            f["path"]
+            for v in keep_versions
+            for m in [self.manifest(v)]
+            for f in m["file_list"] + (m.get("delete_list") or [])
         }
         dropped: list[str] = []
         for v in range(self.oldest_version(), keep_versions[0]):
-            for f in self.manifest(v)["file_list"]:
+            m = self.manifest(v)
+            for f in m["file_list"] + (m.get("delete_list") or []):
                 if f["path"] not in keep_files and f["path"] not in dropped:
                     dropped.append(f["path"])
             os.remove(self._manifest_path(v))

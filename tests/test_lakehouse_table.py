@@ -276,3 +276,60 @@ def test_vacuum_drops_only_unreferenced_files(spark, root):
     assert sorted((r.k, r.price) for r in tbl.read().collect()) == rows_before
     for rel in dropped:
         assert not os.path.exists(os.path.join(root, rel))
+
+
+# -- merge-on-read equality deletes (round 4) --------------------------------
+
+
+def test_delete_where_rewrites_no_data_files(spark, root):
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    before = [f["path"] for f in tbl.manifest()["file_list"]]
+    tbl.delete_where(F.col("grp") == 3, keys=["k"])
+    man = tbl.manifest()
+    assert [f["path"] for f in man["file_list"]] == before
+    assert man["delete_list"] and man["delete_keys"] == ["k"]
+    assert tbl.read().count() == 360
+    assert tbl.read().filter(F.col("grp") == 3).count() == 0
+    # scans apply the tombstones too
+    assert tbl.scan({"k": (1, 50)}).filter(F.col("grp") == 3).count() == 0
+
+
+def test_delete_time_travel_preserves_predelete_snapshot(spark, root):
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    tbl.delete_where(F.col("grp") == 3, keys=["k"])
+    assert tbl.read(version=1).count() == 400
+    assert tbl.read(version=2).count() == 360
+
+
+def test_compact_materializes_deletes(spark, root):
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    tbl.delete_where(F.col("grp") == 3, keys=["k"])
+    tbl.compact(target_files=2)
+    man = tbl.manifest()
+    assert not man["delete_list"]
+    assert man["rows"] == 360
+    assert tbl.read().count() == 360
+
+
+def test_merge_raises_on_unmaterialized_deletes(spark, root):
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    tbl.delete_where(F.col("grp") == 3, keys=["k"])
+    with pytest.raises(ValueError, match="compact"):
+        tbl.merge(_batch(spark), keys=["k"])
+    tbl.compact(target_files=2)
+    tbl.merge(_batch(spark), keys=["k"])  # clean after materialization
+    assert tbl.read().filter(F.col("status") == "I").count() == 10
+
+
+def test_deletes_stack_and_vacuum_keeps_live_tombstones(spark, root):
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    tbl.delete_where(F.col("grp") == 3, keys=["k"])
+    tbl.delete_where(F.col("grp") == 7, keys=["k"])
+    assert tbl.read().count() == 320
+    dropped = tbl.vacuum(retain_versions=1)
+    # the current snapshot still references both tombstones: readable
+    assert tbl.read().count() == 320
+    live = {d["path"] for d in tbl.manifest()["delete_list"]}
+    assert live and not (live & set(dropped))
+    for rel in live:
+        assert os.path.exists(os.path.join(root, rel))
