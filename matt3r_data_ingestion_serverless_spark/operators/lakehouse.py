@@ -366,6 +366,75 @@ class LakehouseTable:
         hit, _ = self._split_by_range(man, bounds)
         return len(hit), man["files"]
 
+    # -- write-audit-publish (WAP) staging ---------------------------------
+    def stage_append(self, df: DataFrame) -> str:
+        """WAP step 1 (WRITE): land ``df``'s data files and a staging
+        descriptor WITHOUT touching the committed chain — main reads
+        are unaffected until :meth:`publish`. Returns the staging
+        token. The Iceberg write-audit-publish pattern: data lands
+        once, audits run against :meth:`read_staged`, and publishing is
+        a metadata-only commit."""
+        token = f"stage-{uuid.uuid4().hex[:10]}"
+        man = self.manifest()
+        stats_cols = getattr(self, "_stats_cols", None) or list(
+            {c for f in man["file_list"] for c in f["stats"]}
+        )
+        sub = os.path.join("data", token)
+        out = os.path.join(self.path, sub)
+        df.write.mode("overwrite").parquet(out)
+        files = self._harvest_stats(out, sub, df.schema, stats_cols)
+        desc = {"token": token, "files": files, "schema_json": df.schema.json()}
+        with open(os.path.join(self._mdir, f"{token}.json"), "w") as f:
+            json.dump(desc, f, indent=1)
+        return token
+
+    def _staged(self, token: str) -> dict:
+        with open(os.path.join(self._mdir, f"{token}.json")) as f:
+            return json.load(f)
+
+    def read_staged(self, token: str) -> DataFrame:
+        """WAP step 2 (AUDIT): the table AS IF the staged append were
+        published — current snapshot plus the staged files — for
+        validation queries. Committed readers still see the unstaged
+        snapshot."""
+        desc = self._staged(token)
+        man = self.manifest()
+        paths = [os.path.join(self.path, f["path"]) for f in man["file_list"]] + [
+            os.path.join(self.path, f["path"]) for f in desc["files"]
+        ]
+        return self._apply_deletes(
+            self._apply_schema_reader(man).parquet(*paths), man
+        )
+
+    def publish(self, token: str, *, max_retries: int = 5) -> "LakehouseTable":
+        """WAP step 3 (PUBLISH): metadata-only commit that adds the
+        staged files to the current snapshot — no data bytes move.
+        Optimistic like merge(): on a version conflict the staged files
+        are re-attached to the FRESH snapshot and the commit retries
+        (an append conflicts with nothing at file granularity)."""
+        desc = self._staged(token)
+        for attempt in range(max_retries + 1):
+            man = self.manifest()
+            if man.get("delete_list"):
+                raise ValueError(
+                    "table has unmaterialized equality deletes; run "
+                    "compact() before publish()"
+                )
+            try:
+                self._commit(
+                    man["version"] + 1,
+                    "append",
+                    man["file_list"] + desc["files"],
+                    schema_json=man.get("schema_json") or desc["schema_json"],
+                )
+            except CommitConflictError:
+                if attempt == max_retries:
+                    raise
+                continue
+            os.remove(os.path.join(self._mdir, f"{token}.json"))
+            return self
+        raise CommitConflictError("publish retries exhausted")  # pragma: no cover
+
     def delete_where(self, condition, keys: list[str]) -> "LakehouseTable":
         """Merge-on-read DELETE: write the matching rows' ``keys`` as an
         equality-delete tombstone file and commit a snapshot whose DATA

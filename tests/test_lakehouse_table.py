@@ -333,3 +333,38 @@ def test_deletes_stack_and_vacuum_keeps_live_tombstones(spark, root):
     assert live and not (live & set(dropped))
     for rel in live:
         assert os.path.exists(os.path.join(root, rel))
+
+
+# -- write-audit-publish (round 4) --------------------------------------------
+
+
+def test_stage_invisible_until_publish(spark, root):
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    extra = spark.createDataFrame(
+        [(k, k % 10, float(k), "S") for k in range(2000, 2050)],
+        "k BIGINT, grp BIGINT, price DOUBLE, status STRING",
+    )
+    token = tbl.stage_append(extra)
+    assert tbl.read().count() == 400  # main untouched
+    assert tbl.current_version() == 1
+    assert tbl.read_staged(token).count() == 450  # audit sees the union
+    tbl.publish(token)
+    assert tbl.current_version() == 2
+    assert tbl.read().count() == 450
+    assert tbl.manifest()["operation"] == "append"
+
+
+def test_publish_retries_past_conflicting_commit(spark, root):
+    tbl = LakehouseTable.create(_base(spark), root, stats_cols=["k"])
+    extra = spark.createDataFrame(
+        [(3000, 0, 1.0, "S")], "k BIGINT, grp BIGINT, price DOUBLE, status STRING"
+    )
+    token = tbl.stage_append(extra)
+    # another writer lands v2 first
+    tbl.merge(_batch(spark), keys=["k"])
+    assert tbl.current_version() == 2
+    tbl.publish(token)  # must retry onto v3, not clobber v2
+    assert tbl.current_version() == 3
+    got = tbl.read()
+    assert got.filter(F.col("k") == 3000).count() == 1
+    assert got.filter(F.col("status") == "I").count() == 10  # merge survived
