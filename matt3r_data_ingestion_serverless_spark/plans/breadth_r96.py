@@ -75,8 +75,8 @@ def ns_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = mh.join(sh, ["doc_a", "doc_b"]).count()
     nm, ns = mh.count(), sh.count()
     return spark.createDataFrame(
-        [(nm, ns, both, None)],
-        "minhash_pairs BIGINT, simhash_pairs BIGINT, agreed_pairs BIGINT, _x DOUBLE",
+        [(nm, ns, both)],
+        "minhash_pairs BIGINT, simhash_pairs BIGINT, agreed_pairs BIGINT",
     ).select(
         "minhash_pairs",
         "simhash_pairs",
