@@ -64,7 +64,16 @@ def ns_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    d = _with_hashed_shingles(docs).select("doc_id", "sh")
+    # materialize the shingle arrays BEFORE exploding: explode over the
+    # raw higher-order-function expression re-evaluates the md5
+    # transform per OUTPUT row (measured 89 s at sf0.1 — ~50× the
+    # pinned cost), and AQE coalesces the tiny byte volume to one
+    # partition, serializing it too
+    d = (
+        _with_hashed_shingles(docs)
+        .select("doc_id", "sh")
+        .localCheckpoint(eager=True)
+    )
     x = d.select("doc_id", F.explode("sh").alias("g"))
     cnt = x.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
     per = (

@@ -76,11 +76,15 @@ def ns_shingle_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    x = (
+    # pin the arrays BEFORE the explode — exploding the raw
+    # higher-order expression re-evaluates the md5 transform per
+    # output row (the ns_ngram_novelty 89 s pathology)
+    d = (
         _with_hashed_shingles(docs)
-        .select("doc_id", F.explode("sh").alias("g"))
+        .select("doc_id", "sh")
         .localCheckpoint(eager=True)
     )
+    x = d.select("doc_id", F.explode("sh").alias("g"))
     first_seen = x.groupBy("g").agg(F.min("doc_id").alias("fd"))
     tot = x.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     cps = spark.createDataFrame([(c,) for c in _HEAPS_CPS], "cp BIGINT")
