@@ -63,9 +63,10 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -258,6 +259,98 @@ class LakehouseTable:
             )
         return files
 
+    def _write_bucketed_files(
+        self,
+        df: DataFrame,
+        version: int,
+        key: str,
+        boundaries: list,
+        stats_cols: list[str],
+    ) -> tuple[list[dict], str]:
+        """ONE-JOB bucketed write: rows are assigned to key-range
+        buckets by the given ascending internal split points (a CASE
+        column — no repartitionByRange boundary-sampling job), written
+        one file per bucket via partitionBy, and the per-file manifest
+        stats are collected with ``observe()`` DURING the same action —
+        zero post-write jobs (vs _write_data_files' harvest job). The
+        per-batch cost of a streaming CDC merge drops to exactly two
+        jobs: the touched-file scan and this write.
+
+        Buckets have disjoint key ranges by construction, so the next
+        batch's _touched_files prune stays sharp across merges."""
+        n = len(boundaries) + 1
+        bucket = F.lit(0)
+        for b in boundaries:
+            bucket = bucket + F.when(F.col(key) >= F.lit(b), 1).otherwise(0)
+        portable = [
+            f.name
+            for f in df.schema.fields
+            if f.name in stats_cols and isinstance(f.dataType, _PORTABLE_STAT_TYPES)
+        ]
+        aggs = []
+        for i in range(n):
+            inb = F.col("_pbkt") == i
+            aggs.append(F.count(F.when(inb, F.lit(1))).alias(f"__n_{i}"))
+            for c in portable:
+                aggs.append(F.min(F.when(inb, F.col(c))).alias(f"__lo_{i}_{c}"))
+                aggs.append(F.max(F.when(inb, F.col(c))).alias(f"__hi_{i}_{c}"))
+        obs = Observation()
+        out_df = (
+            df.withColumn("_pbkt", bucket).repartition(n, "_pbkt").observe(obs, *aggs)
+        )
+        sub = os.path.join("data", f"commit-{version}-{uuid.uuid4().hex[:8]}")
+        out = os.path.join(self.path, sub)
+        out_df.write.mode("overwrite").partitionBy("_pbkt").parquet(out)
+        m = obs.get
+        files: list[dict] = []
+        for i in range(n):
+            rows = m[f"__n_{i}"]
+            if not rows:
+                continue
+            d = os.path.join(out, f"_pbkt={i}")
+            parts = sorted(p for p in os.listdir(d) if p.endswith(".parquet"))
+            if len(parts) != 1:  # pragma: no cover — repartition(n, _pbkt)
+                # puts a bucket wholly in one task; if that ever changes,
+                # fall back to the per-file harvest for this commit dir
+                return self._harvest_stats(out, sub, df.schema, stats_cols), out
+            stats: dict[str, list] = {}
+            for c in portable:
+                lo = _json_portable(m[f"__lo_{i}_{c}"])
+                hi = _json_portable(m[f"__hi_{i}_{c}"])
+                if lo is not None and hi is not None:
+                    stats[c] = [lo, hi]
+            files.append(
+                {
+                    "path": os.path.join(sub, f"_pbkt={i}", parts[0]),
+                    "rows": rows,
+                    "stats": stats,
+                }
+            )
+        return files, out
+
+    @classmethod
+    def create_bucketed(
+        cls,
+        df: DataFrame,
+        path: str,
+        *,
+        key: str,
+        boundaries: list,
+        stats_cols: list[str] | None = None,
+    ) -> "LakehouseTable":
+        """Create version 1 with key-range-bucketed files in ONE job
+        (the caller supplies the split points — e.g. observed during an
+        upstream landing write — so no boundary sampling runs here).
+        The bucketed layout is what makes _touched_files pruning bite
+        from the very first merge."""
+        t = cls(df.sparkSession, path)
+        os.makedirs(t._mdir, exist_ok=True)
+        cols = list(stats_cols or df.columns)
+        files, _ = t._write_bucketed_files(df, 1, key, list(boundaries), cols)
+        t._commit(1, "create", files, schema_json=df.schema.json())
+        t._stats_cols = cols
+        return t
+
     def _write_data_files(
         self, df: DataFrame, version: int, stats_cols: list[str]
     ) -> tuple[list[dict], str]:
@@ -297,17 +390,41 @@ class LakehouseTable:
 
     def _apply_deletes(self, df: DataFrame, man: dict) -> DataFrame:
         """Merge-on-read: anti-join the snapshot's equality-delete
-        tombstones (union of all delete files, keyed on the manifest's
-        delete_keys). No-op when the snapshot carries no deletes. The
+        tombstones. No-op when the snapshot carries no deletes. The
         tombstone side is key-columns-only and typically tiny — Spark
-        broadcasts it, so the data scan never shuffles."""
+        broadcasts it, so the data scan never shuffles.
+
+        Tombstone files are grouped BY THEIR OWN key columns (each
+        delete_list entry records the ``keys`` it was written with) and
+        each group gets its own anti-join: stacked delete_where calls
+        with DIFFERENT key columns would otherwise union tombstones of
+        mismatched schemas and project the wrong keys as null — a null
+        equality join matches nothing, silently resurrecting deleted
+        rows (ADVICE r04 #1). The joins are NULL-SAFE (`<=>`): a
+        tombstone row whose key is NULL deletes the NULL-key data rows
+        the delete condition matched, instead of never matching
+        (ADVICE r04 #4)."""
         if not man.get("delete_list"):
             return df
-        keys = man["delete_keys"]
-        tomb = self.spark.read.parquet(
-            *[os.path.join(self.path, d["path"]) for d in man["delete_list"]]
-        ).select(*keys).distinct()
-        return df.join(F.broadcast(tomb), keys, "left_anti")
+        groups: dict[tuple, list[str]] = {}
+        for d in man["delete_list"]:
+            # entries written before per-file keys fall back to the
+            # manifest-level delete_keys
+            k = tuple(d.get("keys") or man.get("delete_keys") or [])
+            groups.setdefault(k, []).append(d["path"])
+        for keys, paths in groups.items():
+            tomb = (
+                self.spark.read.parquet(
+                    *[os.path.join(self.path, p) for p in paths]
+                )
+                .select(*keys)
+                .distinct()
+            )
+            cond = F.lit(True)
+            for k in keys:
+                cond = cond & df[k].eqNullSafe(tomb[k])
+            df = df.join(F.broadcast(tomb), cond, "left_anti")
+        return df
 
     def read(self, version: int | None = None) -> DataFrame:
         """The snapshot as a DataFrame — exactly the files the manifest
@@ -420,6 +537,31 @@ class LakehouseTable:
                     "table has unmaterialized equality deletes; run "
                     "compact() before publish()"
                 )
+            # Never silently narrow (ADVICE r04 #2, mirroring merge()'s
+            # contract): a staged df with columns the table lacks, or
+            # with a retyped column, would publish cleanly and then be
+            # dropped / miscast on every read — fail the publish instead.
+            if man.get("schema_json"):
+                tbl = {
+                    f.name: f.dataType
+                    for f in StructType.fromJson(
+                        json.loads(man["schema_json"])
+                    ).fields
+                }
+                staged = StructType.fromJson(json.loads(desc["schema_json"]))
+                extra = [f.name for f in staged.fields if f.name not in tbl]
+                retyped = [
+                    f.name
+                    for f in staged.fields
+                    if f.name in tbl and f.dataType != tbl[f.name]
+                ]
+                if extra or retyped:
+                    raise ValueError(
+                        f"staged schema does not fit the table: extra "
+                        f"columns {extra}, retyped columns {retyped}; "
+                        "re-stage a conforming df (or evolve the schema "
+                        "through merge(evolve_schema=True))"
+                    )
             try:
                 self._commit(
                     man["version"] + 1,
@@ -434,6 +576,20 @@ class LakehouseTable:
             os.remove(os.path.join(self._mdir, f"{token}.json"))
             return self
         raise CommitConflictError("publish retries exhausted")  # pragma: no cover
+
+    def abort_staged(self, token: str) -> None:
+        """WAP abort: remove a staged append's data directory and
+        descriptor without publishing — the cleanup path for a failed
+        audit. Without it an abandoned stage leaks forever: vacuum only
+        reclaims files referenced by expired MANIFESTS, and a stage that
+        never published is referenced by nothing (ADVICE r04 #3).
+        Idempotent; aborting an already-published token is an error
+        (its descriptor is gone and its files belong to a snapshot)."""
+        desc_path = os.path.join(self._mdir, f"{token}.json")
+        if not os.path.exists(desc_path):
+            return
+        shutil.rmtree(os.path.join(self.path, "data", token), ignore_errors=True)
+        os.remove(desc_path)
 
     def delete_where(self, condition, keys: list[str]) -> "LakehouseTable":
         """Merge-on-read DELETE: write the matching rows' ``keys`` as an
@@ -457,13 +613,18 @@ class LakehouseTable:
         out = os.path.join(self.path, sub)
         matching = self.read().filter(condition).select(*keys).distinct()
         matching.coalesce(1).write.mode("overwrite").parquet(out)
-        n = self.spark.read.parquet(out).count()
-        # reference the tombstone parquet parts individually so vacuum
-        # can account for them file-by-file
-        dl = list(man.get("delete_list") or [])
-        for name in sorted(os.listdir(out)):
-            if name.endswith(".parquet"):
-                dl.append({"path": os.path.join(sub, name), "rows": n})
+        # reference the tombstone parquet parts individually (so vacuum
+        # can account for them file-by-file) with PER-FILE row counts
+        # from the same distributed stats harvest the data path uses
+        # (ADVICE r04 #4: the old loop stamped the GLOBAL count on every
+        # part), and record the key columns ON each entry so stacked
+        # deletes with different keys anti-join independently
+        # (ADVICE r04 #1).
+        entries = self._harvest_stats(out, sub, matching.schema, list(keys))
+        for e in entries:
+            e["keys"] = list(keys)
+        n = sum(e["rows"] for e in entries)
+        dl = list(man.get("delete_list") or []) + entries
         try:
             self._commit(
                 version,
@@ -557,6 +718,7 @@ class LakehouseTable:
         insert: bool = True,
         evolve_schema: bool = False,
         max_retries: int = 5,
+        version_col: str | None = None,
     ) -> "LakehouseTable":
         """MERGE INTO with manifest pruning: data files that cannot
         contain any source key are carried into the new snapshot BY
@@ -592,7 +754,27 @@ class LakehouseTable:
         The committed snapshot schema is always the TABLE schema
         (+ evolved columns), never the source's: a source batch lacking
         snapshot columns gets them as nulls rather than silently
-        narrowing the table."""
+        narrowing the table.
+
+        ``version_col``: LATEST-WINS merge for out-of-order CDC apply
+        (VERDICT r04 next-step 2). Instead of source-wins merge_plan
+        semantics, a matched key resolves to whichever side carries the
+        larger ``version_col`` — one ``max_by`` hash aggregate over
+        (pruned target ∪ source), no join, no sort — so a re-delivered
+        or late lower-seq batch can never clobber newer state
+        (at-least-once safe under ANY batch arrival order). Requires
+        the source schema to equal the table schema; incompatible with
+        update_cols/delete_condition/evolve_schema (argmax resolves the
+        whole row). The rewritten files are range-partitioned on the
+        first key so future batches keep pruning against disjoint
+        per-file key ranges."""
+        if version_col is not None and (
+            update_cols or delete_condition is not None or evolve_schema
+        ):
+            raise ValueError(
+                "version_col merge resolves whole rows by argmax; "
+                "update_cols/delete_condition/evolve_schema do not apply"
+            )
         for attempt in range(max_retries + 1):
             man = self.manifest()
             if man.get("delete_list"):
@@ -642,14 +824,26 @@ class LakehouseTable:
                 )
                 for f in new_cols:
                     target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
-                merged = merge_plan(
-                    target,
-                    source_df,
-                    keys,
-                    update_cols=update_cols,
-                    delete_condition=delete_condition,
-                    insert=insert,
-                )
+                if version_col is not None:
+                    payload = [c for c in target.columns if c not in keys]
+                    merged = (
+                        target.unionByName(source_df.select(*target.columns))
+                        .groupBy(*keys)
+                        .agg(F.max_by(F.struct(*payload), version_col).alias("_r"))
+                        .select(
+                            *keys,
+                            *[F.col(f"_r.{c}").alias(c) for c in payload],
+                        )
+                    )
+                else:
+                    merged = merge_plan(
+                        target,
+                        source_df,
+                        keys,
+                        update_cols=update_cols,
+                        delete_condition=delete_condition,
+                        insert=insert,
+                    )
             else:
                 merged = source_df
                 if delete_condition is not None:
@@ -664,7 +858,22 @@ class LakehouseTable:
             merged = merged.select(
                 *[F.col(f.name).cast(f.dataType).alias(f.name) for f in full_fields]
             )
-            new_files, out_dir = self._write_data_files(merged, version, stats_cols)
+            if version_col is not None:
+                # keep the rewritten files key-range-disjoint for the
+                # NEXT batch's prune, with boundaries taken from the
+                # touched files' existing manifest stats (no
+                # repartitionByRange sampling job) and per-file stats
+                # observed DURING the write (no harvest job): exactly
+                # two jobs per streamed CDC batch — touched-scan + write
+                k0 = keys[0]
+                los = sorted(e["stats"][k0][0] for e in hit if k0 in e["stats"])
+                new_files, out_dir = self._write_bucketed_files(
+                    merged, version, k0, los[1:], stats_cols
+                )
+            else:
+                new_files, out_dir = self._write_data_files(
+                    merged, version, stats_cols
+                )
             try:
                 self._commit(
                     version, "merge", miss + new_files, schema_json=full_schema.json()
@@ -699,15 +908,42 @@ class LakehouseTable:
         self._commit(version, "compact", files, schema_json=man.get("schema_json"))
         return self
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self,
+        retain_versions: int = 1,
+        *,
+        sweep_staged_older_than_s: float | None = None,
+    ) -> list[str]:
         """Garbage-collect data files referenced ONLY by snapshots older
         than the newest ``retain_versions``; those old manifests are
         dropped too (time travel beyond the horizon is surrendered —
         that is vacuum's documented trade everywhere; ``read(version=
         ...)`` into the reclaimed range raises a clear error and
         ``history()`` starts at the horizon). Returns deleted file
-        paths."""
+        paths.
+
+        ``sweep_staged_older_than_s`` additionally reclaims ABANDONED
+        WAP stages (descriptor + data dir) whose descriptor is older
+        than the given age — unpublished stages are referenced by no
+        manifest, so the version-horizon sweep can never see them
+        (ADVICE r04 #3). Age-gated so an in-flight stage_append →
+        audit → publish window is never yanked out from under the
+        writer (Delta's TOMBSTONE_RETENTION analogue)."""
         cur = self.current_version()
+        staged_dropped: list[str] = []
+        if sweep_staged_older_than_s is not None:
+            now = time.time()
+            for name in sorted(os.listdir(self._mdir)):
+                if not (name.startswith("stage-") and name.endswith(".json")):
+                    continue
+                desc_path = os.path.join(self._mdir, name)
+                if now - os.path.getmtime(desc_path) <= sweep_staged_older_than_s:
+                    continue
+                token = name[: -len(".json")]
+                staged_dropped.extend(
+                    f["path"] for f in self._staged(token)["files"]
+                )
+                self.abort_staged(token)
         keep_versions = list(range(max(1, cur - retain_versions + 1), cur + 1))
         keep_files = {
             f["path"]
@@ -722,6 +958,7 @@ class LakehouseTable:
                 if f["path"] not in keep_files and f["path"] not in dropped:
                     dropped.append(f["path"])
             os.remove(self._manifest_path(v))
+        dropped.extend(staged_dropped)
         for rel in dropped:
             try:
                 os.remove(os.path.join(self.path, rel))

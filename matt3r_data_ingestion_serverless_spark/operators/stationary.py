@@ -7,15 +7,33 @@ duration (last_ts - first_ts) is >= 13 s emits the interval
 (12, 13) s untested (`<= 12` continues, `>= 13` emits); we pin the
 intended semantics: emit iff duration >= min_duration.
 
-Spark-first shape: the reference's imperative `speed_list.index(0)`
-loop becomes a gaps-and-islands plan —
+Spark-first shape, and the 100×-scale fix (VERDICT r04 finding #1):
+the naive plan windows by device alone, so one device's ENTIRE history
+is a single sort in a single task — a multi-year backfill funnels
+10^8-10^9 rows through one core. Instead we sessionize within
+(device, day) buckets — matching the silver partition layout
+(SCALE.md §1) — and stitch runs that span bucket boundaries:
 
-    lag window (per device)  →  run-id running sum  →  groupBy(run)
-    →  min/max ts            →  duration filter     →  trim projection
+    stage 1 (bulk, bounded):  window per (device, DAY) → run-id →
+        groupBy(device, day, run) → per-run extent + open_start /
+        open_end flags (run touches the bucket's first/last sample)
+    stage 2 (interior runs):  runs open at NEITHER end can never merge
+        across buckets → emitted directly, no further shuffle
+    stage 3 (boundary stitch): runs open at start or end — at most TWO
+        per (device, day) — chain via a device-ordered window: run B
+        continues run A iff A is open at its bucket's end, B is open at
+        its bucket's start, and B's bucket is the device's NEXT
+        data-bearing bucket (an all-zero day is open at both ends and
+        chains straight through; a day whose boundary sample is moving
+        breaks the chain, as does a data-bearing day with no boundary
+        zero-run, because the bucket sequence number jumps)
 
-which is one shuffle (the window / groupBy share the device_id hash
-partitioning) and scales linearly: at 100 TB the per-device window
-state is bounded by device cardinality, and AQE handles skewed devices.
+The heavy window is now keyed by (device, day): max task input is one
+device-day, regardless of total history length. The stitch window is
+keyed by device but holds <= 2 rows per device-day — bounded by days
+of history (~10^3-10^4 rows/device at 100 TB), not by sample count.
+Duration filter and trim run AFTER stitching so a run spanning
+midnight still qualifies on its full length.
 """
 
 from __future__ import annotations
@@ -33,6 +51,7 @@ def stationary_intervals(
     zero_threshold: float = 0.0,
     min_duration_s: float = 13.0,
     trim_s: float = 3.0,
+    bucket: str | None = "day",
 ) -> DataFrame:
     """Emit one row per qualifying stationary interval.
 
@@ -44,14 +63,122 @@ def stationary_intervals(
     ``zero_threshold`` generalizes the reference's ``speed == 0``: a
     sample is "stationary" when speed <= zero_threshold (0.0 reproduces
     the reference; the synthetic events table has no exact zeros).
+
+    ``bucket`` is the date_trunc granularity of the scale-out
+    partitioning ("day"/"hour"/...); ``bucket=None`` falls back to the
+    single-window-per-device plan (kept for differential testing —
+    results are identical by construction, see
+    tests/test_temporal_props.py::test_bucketed_equals_unbucketed).
     """
+    if bucket is None:
+        return _device_window_plan(
+            df, key, ts, speed,
+            zero_threshold=zero_threshold,
+            min_duration_s=min_duration_s,
+            trim_s=trim_s,
+        )
+
+    bkt = F.date_trunc(bucket, F.col(ts))
+    w = Window.partitionBy(key, "_bkt").orderBy(ts)
+    wb = Window.partitionBy(key, "_bkt")
+    is_zero: Column = (F.col(speed) <= F.lit(zero_threshold)).cast("int")
+
+    # Stage 1: per-(device, bucket) runs — the only exchange that sees
+    # raw samples, and its partition key includes the date bucket.
+    runs = (
+        df.select(key, ts, speed)
+        .withColumn("_bkt", bkt)
+        .withColumn("_us", F.unix_micros(F.col(ts)))
+        .withColumn("_z", is_zero)
+        .withColumn("_chg", (F.lag("_z", 1, -1).over(w) != F.col("_z")).cast("int"))
+        .withColumn("_run", F.sum("_chg").over(w))
+        # bucket extent over the SAME partitioning — no extra shuffle
+        .withColumn("_bkt_min", F.min("_us").over(wb))
+        .withColumn("_bkt_max", F.max("_us").over(wb))
+        .filter(F.col("_z") == 1)
+        .groupBy(key, "_bkt", "_run")
+        .agg(
+            F.min("_us").alias("_start_us"),
+            F.max("_us").alias("_end_us"),
+            F.min("_bkt_min").alias("_bkt_min"),
+            F.min("_bkt_max").alias("_bkt_max"),
+        )
+        .withColumn("_open_start", F.col("_start_us") == F.col("_bkt_min"))
+        .withColumn("_open_end", F.col("_end_us") == F.col("_bkt_max"))
+    )
+
+    # Stage 2: interior runs never cross a bucket edge — emit directly.
+    interior = runs.filter(~F.col("_open_start") & ~F.col("_open_end")).select(
+        key, "_start_us", "_end_us"
+    )
+
+    # Stage 3: boundary runs (<= 2 per device-bucket). Sequence number
+    # of each DATA-BEARING bucket per device: a gap in this sequence
+    # means an intervening day whose samples were all moving (or whose
+    # boundary runs were interior-only — impossible: a run containing
+    # the bucket's first/last sample is by definition open), so the
+    # chain must break there.
+    bucket_seq = (
+        df.select(key, bkt.alias("_bkt"))
+        .groupBy(key, "_bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_seq", F.row_number().over(Window.partitionBy(key).orderBy("_bkt"))
+        )
+        .select(key, "_bkt", "_seq")
+    )
+    boundary = runs.filter(F.col("_open_start") | F.col("_open_end")).join(
+        bucket_seq, on=[key, "_bkt"], how="inner"
+    )
+
+    ws = Window.partitionBy(key).orderBy("_start_us")
+    wsr = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stitched = (
+        boundary.withColumn(
+            "_continues",
+            F.lag("_open_end", 1, False).over(ws)
+            & F.col("_open_start")
+            & (F.lag("_seq", 1, -2).over(ws) == F.col("_seq") - 1),
+        )
+        .withColumn("_grp", F.sum((~F.col("_continues")).cast("int")).over(wsr))
+        .groupBy(key, "_grp")
+        .agg(F.min("_start_us").alias("_start_us"), F.max("_end_us").alias("_end_us"))
+        .select(key, "_start_us", "_end_us")
+    )
+
+    trim_us = int(trim_s * 1_000_000)
+    min_dur_us = int(min_duration_s * 1_000_000)
+    return (
+        interior.unionByName(stitched)
+        .filter(F.col("_end_us") - F.col("_start_us") >= min_dur_us)
+        .select(
+            F.col(key),
+            (F.col("_start_us") + trim_us).alias("start_us"),
+            (F.col("_end_us") - trim_us).alias("end_us"),
+            F.round((F.col("_end_us") - F.col("_start_us")) / 1e6, 6).alias("duration_s"),
+        )
+    )
+
+
+def _device_window_plan(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    speed: str,
+    *,
+    zero_threshold: float,
+    min_duration_s: float,
+    trim_s: float,
+) -> DataFrame:
+    """The pre-r05 single-window-per-device plan. Unsplittable for one
+    device's unbounded history — retained only as the differential
+    twin for the bucketed plan's property tests."""
     w = Window.partitionBy(key).orderBy(ts)
     is_zero: Column = (F.col(speed) <= F.lit(zero_threshold)).cast("int")
 
     runs = (
         df.select(key, ts, speed)
         .withColumn("_z", is_zero)
-        # new run whenever the zero-flag differs from the previous row's
         .withColumn("_chg", (F.lag("_z", 1, -1).over(w) != F.col("_z")).cast("int"))
         .withColumn("_run", F.sum("_chg").over(w))
         .filter(F.col("_z") == 1)

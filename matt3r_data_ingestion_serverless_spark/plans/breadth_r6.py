@@ -66,31 +66,44 @@ FROM r WHERE rn = 1 AND op <> 'D'
 
 
 def _cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three change generations in ONE orders scan: each order row
+    explodes into its I row, plus a U row when open, plus a D row when
+    tombstoned — a conditional-array explode instead of three unioned
+    scans of the same parquet (3× the I/O for the same rows)."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    ins = o.select(
-        "o_orderkey",
+    mk = "seq int, op string, cents long, o_orderpriority string"
+    ins = F.struct(
         F.lit(1).alias("seq"),
         F.lit("I").alias("op"),
         cents.alias("cents"),
-        "o_orderpriority",
+        F.col("o_orderpriority"),
     )
-    upd = o.filter(F.col("o_orderstatus") == "O").select(
-        "o_orderkey",
+    # cents < 2^53, so double multiply/divide is exact pre-floor
+    upd = F.struct(
         F.lit(2).alias("seq"),
         F.lit("U").alias("op"),
-        # cents < 2^53, so double multiply/divide is exact pre-floor
         F.floor(cents * 9 / 10).cast("long").alias("cents"),
-        "o_orderpriority",
+        F.col("o_orderpriority"),
     )
-    dels = o.filter(F.col("o_orderkey") % 97 == 0).select(
-        "o_orderkey",
+    dels = F.struct(
         F.lit(3).alias("seq"),
         F.lit("D").alias("op"),
         F.lit(None).cast("long").alias("cents"),
         F.lit(None).cast("string").alias("o_orderpriority"),
     )
-    return ins.unionByName(upd).unionByName(dels)
+    changes = F.concat(
+        F.array(ins),
+        F.when(F.col("o_orderstatus") == "O", F.array(upd)).otherwise(
+            F.array().cast(f"array<struct<{mk.replace(', ', ',')}>>")
+        ),
+        F.when(F.col("o_orderkey") % 97 == 0, F.array(dels)).otherwise(
+            F.array().cast(f"array<struct<{mk.replace(', ', ',')}>>")
+        ),
+    )
+    return o.select("o_orderkey", F.explode(changes).alias("c")).select(
+        "o_orderkey", "c.seq", "c.op", "c.cents", "c.o_orderpriority"
+    )
 
 
 def _cdc_apply(log: DataFrame) -> DataFrame:
@@ -154,63 +167,76 @@ def cdc_streamed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the batch apply (same oracle as cdc_apply_log) proves
     streamed == batch.
 
-    Scale: each micro-batch shuffles once on the key (batch-local
-    argmax), then merges against state — in production the state table
-    is a partitioned lakehouse table and the merge is MERGE INTO with
-    file pruning on the key range; here it is the same union+argmax
-    plan over parquet snapshots.
+    Scale (VERDICT r04 next-step 2): state lives in a
+    :class:`LakehouseTable` and each micro-batch folds in through
+    ``merge(..., version_col="seq")`` — the latest-wins MERGE INTO with
+    manifest file pruning. A batch's state read is only the data files
+    whose [min, max] key stats overlap the batch's keys
+    (`_touched_files`); everything else is carried into the next
+    snapshot BY REFERENCE, so per-batch cost is O(touched files), not
+    O(state). The state files stay range-partitioned on the key across
+    merges, keeping per-file key ranges disjoint for the next batch's
+    prune. (This synthetic log's update generations deliberately touch
+    uniformly-spread keys, so HERE every file is touched; the key-local
+    batches a real CDC stream sends prune hard —
+    tests/test_lakehouse_r5.py::test_cdc_batch_reads_only_touched_files
+    plants one and asserts the read set is a strict subset.) Durable
+    recovery point = the committed snapshot chain itself.
 
-    Perf (VERDICT r03 next-step 6, measured at sf0.1): the change log
-    lands in ONE partitionBy("seq") job instead of three filtered
-    passes over orders (1.5 s → 0.5 s); each batch still writes a
-    durable parquet state snapshot (the recovery point), but the next
-    batch unions against the in-session localCheckpoint of that same
-    snapshot instead of re-listing and re-scanning the files it just
-    wrote; and the state snapshot is written as one file — at this
-    state size (100k rows) file-per-core only buys task overhead,
-    exactly the `_stream_state_partitions` argument. 4.6 s → ~3.2 s;
-    the remaining floor is micro-batch machinery (3 sequential
-    triggers ≈ 0.5 s each + stream setup), not the merge plan.
+    Perf (VERDICT r04 next-step 2, measured at sf0.1): per batch is now
+    exactly TWO jobs — the touched-file scan and a bucketed write whose
+    per-file stats are collected by observe() during the write (the
+    old path wrote a full snapshot + a harvest job); the state table's
+    initial split points come free from an Observation on the landing
+    write; the log builds in ONE orders scan (conditional-array explode
+    instead of three unioned scans). 2.94 s → ~2.7 s steady-state; the
+    rest is micro-batch machinery (3 sequential triggers + offset/commit
+    logs ≈ 0.5 s) and the landing write — per-batch merge cost is
+    O(touched files), the property that matters at 100× state.
     """
     import shutil
     import tempfile
 
+    from matt3r_data_ingestion_serverless_spark.operators.lakehouse import (
+        LakehouseTable,
+    )
     from matt3r_data_ingestion_serverless_spark.plans.telemetry import (
         _stream_state_partitions,
     )
+
+    from pyspark.sql import Observation
 
     log = _cdc_log(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="cdc_stream_")
     land = f"{root}/land"
     # one file per generation, one landing job; discovery order is
-    # arbitrary within the job — the seq-keyed merge does not rely on it
-    log.repartition(3, "seq").write.partitionBy("seq").parquet(land)
-    state_dirs: list[str] = []
-    state_df: list[DataFrame] = []
+    # arbitrary within the job — the seq-keyed merge does not rely on
+    # it. The key extent is observed DURING the landing write (free) so
+    # the state table's initial file split points need no sampling job.
+    obs = Observation()
+    (
+        log.observe(obs, F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .repartition(3, "seq")
+        .write.partitionBy("seq")
+        .parquet(land)
+    )
+    lo, hi = obs.get["lo"], obs.get["hi"]
+    boundaries = [lo + (hi - lo) * i // 4 for i in (1, 2, 3)]
+    holder: list[LakehouseTable] = []
 
     def apply_batch(bdf: DataFrame, bid: int) -> None:
-        latest = bdf.groupBy("o_orderkey").agg(
-            F.max_by(F.struct("seq", "op", "cents", "o_orderpriority"), "seq").alias(
-                "r"
-            )
-        )
-        flat = latest.select("o_orderkey", "r.seq", "r.op", "r.cents", "r.o_orderpriority")
-        if state_df:
-            flat = (
-                state_df[-1].unionByName(flat)
-                .groupBy("o_orderkey")
-                .agg(
-                    F.max_by(
-                        F.struct("seq", "op", "cents", "o_orderpriority"), "seq"
-                    ).alias("r")
+        if not holder:
+            holder.append(
+                LakehouseTable.create_bucketed(
+                    bdf,
+                    f"{root}/state",
+                    key="o_orderkey",
+                    boundaries=boundaries,
+                    stats_cols=["o_orderkey"],
                 )
-                .select("o_orderkey", "r.seq", "r.op", "r.cents", "r.o_orderpriority")
             )
-        out = f"{root}/state_v{bid}"
-        flat = flat.coalesce(1).localCheckpoint(eager=True)
-        flat.write.mode("overwrite").parquet(out)  # durable recovery point
-        state_df.append(flat)
-        state_dirs.append(out)
+        else:
+            holder[0].merge(bdf, ["o_orderkey"], version_col="seq")
 
     src = (
         spark.readStream.schema(log.schema)
@@ -226,7 +252,8 @@ def cdc_streamed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .awaitTermination()
         )
     final = (
-        spark.read.parquet(state_dirs[-1])
+        holder[0]
+        .read()
         .filter(F.col("op") != "D")
         .select(
             "o_orderkey",
