@@ -90,6 +90,19 @@ class CommitConflictError(RuntimeError):
     put-if-absent contract)."""
 
 
+def _latest_wins(df: DataFrame, keys: list[str], version_col: str) -> DataFrame:
+    """One row per key: the whole row carrying the max ``version_col``
+    (max_by hash aggregate — no join, no sort). Shared by
+    merge(version_col=...) and create_bucketed so a batch holding two
+    generations of the same key can never write duplicates."""
+    payload = [c for c in df.columns if c not in keys]
+    return (
+        df.groupBy(*keys)
+        .agg(F.max_by(F.struct(*payload), version_col).alias("_r"))
+        .select(*keys, *[F.col(f"_r.{c}").alias(c) for c in payload])
+    )
+
+
 def _json_portable(v):
     """min/max value safe to embed in a JSON manifest, else None."""
     if v is None or isinstance(v, bool):
@@ -337,14 +350,23 @@ class LakehouseTable:
         key: str,
         boundaries: list,
         stats_cols: list[str] | None = None,
+        keys: list[str] | None = None,
+        version_col: str | None = None,
     ) -> "LakehouseTable":
         """Create version 1 with key-range-bucketed files in ONE job
         (the caller supplies the split points — e.g. observed during an
         upstream landing write — so no boundary sampling runs here).
         The bucketed layout is what makes _touched_files pruning bite
-        from the very first merge."""
+        from the very first merge.
+
+        ``keys`` + ``version_col``: latest-wins dedup of the seed batch
+        itself (ADVICE r05 #1) — a CDC first batch carrying an insert
+        AND an update for the same key must land as ONE row (the max-seq
+        one), exactly as merge(version_col=...) resolves it later."""
         t = cls(df.sparkSession, path)
         os.makedirs(t._mdir, exist_ok=True)
+        if version_col is not None:
+            df = _latest_wins(df, list(keys or [key]), version_col)
         cols = list(stats_cols or df.columns)
         files, _ = t._write_bucketed_files(df, 1, key, list(boundaries), cols)
         t._commit(1, "create", files, schema_json=df.schema.json())
@@ -413,6 +435,16 @@ class LakehouseTable:
             k = tuple(d.get("keys") or man.get("delete_keys") or [])
             groups.setdefault(k, []).append(d["path"])
         for keys, paths in groups.items():
+            if not keys:
+                # zero key columns would leave cond = lit(True) and the
+                # anti-join would silently delete EVERY data row — a
+                # malformed/legacy manifest must fail loudly instead
+                # (ADVICE r05 #2)
+                raise ValueError(
+                    f"tombstone entries {paths} resolve to an empty key "
+                    "tuple (no per-entry 'keys' and no manifest "
+                    "delete_keys); refusing an unconditioned delete"
+                )
             tomb = (
                 self.spark.read.parquet(
                     *[os.path.join(self.path, p) for p in paths]
@@ -805,6 +837,26 @@ class LakehouseTable:
                 ]
             full_fields = list(snapshot_schema.fields) + new_cols
             full_schema = StructType(full_fields)
+            if version_col is not None:
+                # never silently narrow (ADVICE r05 #4, mirroring
+                # publish()): the docstring requires source schema ==
+                # table schema; enforce it instead of letting
+                # select(*target.columns) drop extras or miscast retypes
+                tbl = {f.name: f.dataType for f in full_fields}
+                extra = [
+                    f.name for f in source_df.schema.fields if f.name not in tbl
+                ]
+                retyped = [
+                    f.name
+                    for f in source_df.schema.fields
+                    if f.name in tbl and f.dataType != tbl[f.name]
+                ]
+                if extra or retyped:
+                    raise ValueError(
+                        f"version_col merge requires the source schema to "
+                        f"equal the table schema: extra columns {extra}, "
+                        f"retyped columns {retyped}"
+                    )
             if not hit and not insert:
                 # pruning proved no key overlap and inserts are off:
                 # MERGE WHEN MATCHED over zero matches is a no-op —
@@ -825,15 +877,10 @@ class LakehouseTable:
                 for f in new_cols:
                     target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
                 if version_col is not None:
-                    payload = [c for c in target.columns if c not in keys]
-                    merged = (
-                        target.unionByName(source_df.select(*target.columns))
-                        .groupBy(*keys)
-                        .agg(F.max_by(F.struct(*payload), version_col).alias("_r"))
-                        .select(
-                            *keys,
-                            *[F.col(f"_r.{c}").alias(c) for c in payload],
-                        )
+                    merged = _latest_wins(
+                        target.unionByName(source_df.select(*target.columns)),
+                        keys,
+                        version_col,
                     )
                 else:
                     merged = merge_plan(
@@ -846,6 +893,13 @@ class LakehouseTable:
                     )
             else:
                 merged = source_df
+                if version_col is not None:
+                    # the pruning proved no TARGET overlap, but the batch
+                    # itself can still carry two generations of one key
+                    # (I then U for a brand-new key in one micro-batch) —
+                    # latest-wins applies within the batch too (ADVICE
+                    # r05 #1)
+                    merged = _latest_wins(merged, keys, version_col)
                 if delete_condition is not None:
                     merged = merged.filter(~delete_condition)
             # align to the snapshot schema (+ evolved cols): add missing
@@ -940,9 +994,28 @@ class LakehouseTable:
                 if now - os.path.getmtime(desc_path) <= sweep_staged_older_than_s:
                     continue
                 token = name[: -len(".json")]
-                staged_dropped.extend(
-                    f["path"] for f in self._staged(token)["files"]
-                )
+                try:
+                    stage_files = {
+                        f["path"] for f in self._staged(token)["files"]
+                    }
+                except FileNotFoundError:
+                    continue  # published between listdir and read
+                # close the publish race (ADVICE r05 #3): publish()
+                # commits the manifest FIRST and removes the descriptor
+                # SECOND, so a stage whose files any live manifest now
+                # references has been published — its data belongs to a
+                # committed snapshot and must not be rmtree'd. Re-check
+                # the descriptor immediately before the abort too.
+                live_cur = self.current_version()
+                referenced = {
+                    f["path"]
+                    for v in range(self.oldest_version(), live_cur + 1)
+                    for m in [self.manifest(v)]
+                    for f in m["file_list"] + (m.get("delete_list") or [])
+                }
+                if stage_files & referenced or not os.path.exists(desc_path):
+                    continue
+                staged_dropped.extend(stage_files)
                 self.abort_staged(token)
         keep_versions = list(range(max(1, cur - retain_versions + 1), cur + 1))
         keep_files = {

@@ -80,31 +80,35 @@ def stationary_intervals(
 
     bkt = F.date_trunc(bucket, F.col(ts))
     w = Window.partitionBy(key, "_bkt").orderBy(ts)
-    wb = Window.partitionBy(key, "_bkt")
     is_zero: Column = (F.col(speed) <= F.lit(zero_threshold)).cast("int")
 
     # Stage 1: per-(device, bucket) runs — the only exchange that sees
     # raw samples, and its partition key includes the date bucket.
+    # Openness is detected POSITIONALLY in the same ordered window that
+    # computes the run ids (a run is open at the bucket start iff it
+    # holds the row with no lag-predecessor, i.e. the bucket's first
+    # sample; symmetrically for lead/last) and folded into the stage-1
+    # aggregate as max(bool) — this removes the extra whole-partition
+    # min/max window pass the r05 plan paid (VERDICT r05 next-step 7);
+    # lag/lead share one WindowExec with the run-id lag, so stage 1 is
+    # one sort, two window passes, one hash aggregate.
     runs = (
         df.select(key, ts, speed)
         .withColumn("_bkt", bkt)
         .withColumn("_us", F.unix_micros(F.col(ts)))
         .withColumn("_z", is_zero)
+        .withColumn("_first", F.lag("_us", 1).over(w).isNull())
+        .withColumn("_last", F.lead("_us", 1).over(w).isNull())
         .withColumn("_chg", (F.lag("_z", 1, -1).over(w) != F.col("_z")).cast("int"))
         .withColumn("_run", F.sum("_chg").over(w))
-        # bucket extent over the SAME partitioning — no extra shuffle
-        .withColumn("_bkt_min", F.min("_us").over(wb))
-        .withColumn("_bkt_max", F.max("_us").over(wb))
         .filter(F.col("_z") == 1)
         .groupBy(key, "_bkt", "_run")
         .agg(
             F.min("_us").alias("_start_us"),
             F.max("_us").alias("_end_us"),
-            F.min("_bkt_min").alias("_bkt_min"),
-            F.min("_bkt_max").alias("_bkt_max"),
+            F.max("_first").alias("_open_start"),
+            F.max("_last").alias("_open_end"),
         )
-        .withColumn("_open_start", F.col("_start_us") == F.col("_bkt_min"))
-        .withColumn("_open_end", F.col("_end_us") == F.col("_bkt_max"))
     )
 
     # Stage 2: interior runs never cross a bucket edge — emit directly.

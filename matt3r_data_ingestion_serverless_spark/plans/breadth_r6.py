@@ -233,6 +233,8 @@ def cdc_streamed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                     key="o_orderkey",
                     boundaries=boundaries,
                     stats_cols=["o_orderkey"],
+                    keys=["o_orderkey"],
+                    version_col="seq",
                 )
             )
         else:

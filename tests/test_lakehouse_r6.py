@@ -1,0 +1,149 @@
+"""Round-6 lakehouse hardening (the four ADVICE r05 findings):
+
+1. version_col merge dedupes the SOURCE batch in the no-hit branch (and
+   create_bucketed dedupes its seed batch) — a micro-batch carrying an
+   insert AND an update for the same brand-new key lands as one row;
+2. _apply_deletes raises on a tombstone group that resolves to an empty
+   key tuple instead of anti-joining on lit(True) (which would silently
+   delete every row);
+3. vacuum's staged sweep never reclaims a stage whose files a live
+   manifest references (the publish-committed-but-descriptor-not-yet-
+   removed race);
+4. version_col merge validates the source schema against the table
+   schema (extra / retyped columns raise, mirroring publish()).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from matt3r_data_ingestion_serverless_spark.operators.lakehouse import LakehouseTable
+
+
+def _seed(spark, tmp_path, rows=None):
+    rows = rows or [(i, 0, float(i)) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "id int, seq int, v double")
+    return LakehouseTable.create(df, str(tmp_path / "t"), stats_cols=["id"])
+
+
+# -- ADVICE r05 #1: latest-wins inside a single batch ----------------------
+
+
+def test_version_merge_no_hit_batch_dedupes(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    # keys 100/101 are brand-new (pruning → no hit) and each arrives
+    # TWICE in one batch: an insert generation and an update generation
+    src = spark.createDataFrame(
+        [(100, 1, 1.0), (100, 2, 2.0), (101, 1, 3.0), (101, 3, 4.0)],
+        "id int, seq int, v double",
+    )
+    t.merge(src, ["id"], version_col="seq")
+    got = {r.id: (r.seq, r.v) for r in t.read().filter("id >= 100").collect()}
+    assert got == {100: (2, 2.0), 101: (3, 4.0)}
+    assert t.read().filter("id >= 100").count() == 2  # no duplicate rows
+
+
+def test_create_bucketed_seed_batch_dedupes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 2.0), (2, 1, 3.0), (9, 5, 9.0)],
+        "id int, seq int, v double",
+    )
+    t = LakehouseTable.create_bucketed(
+        df,
+        str(tmp_path / "t"),
+        key="id",
+        boundaries=[5],
+        stats_cols=["id"],
+        keys=["id"],
+        version_col="seq",
+    )
+    got = {r.id: r.seq for r in t.read().collect()}
+    assert got == {1: 2, 2: 1, 9: 5}
+
+
+# -- ADVICE r05 #4: version_col merge never silently narrows ---------------
+
+
+def test_version_merge_rejects_extra_and_retyped_columns(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    extra = spark.createDataFrame(
+        [(1, 9, 1.0, "x")], "id int, seq int, v double, junk string"
+    )
+    with pytest.raises(ValueError, match="extra columns \\['junk'\\]"):
+        t.merge(extra, ["id"], version_col="seq")
+    retyped = spark.createDataFrame([(1, 9, 1)], "id int, seq int, v int")
+    with pytest.raises(ValueError, match="retyped columns \\['v'\\]"):
+        t.merge(retyped, ["id"], version_col="seq")
+    # table untouched by the failed merges
+    assert t.current_version() == 1
+    assert t.read().count() == 8
+
+
+# -- ADVICE r05 #2: empty-key tombstone group fails loudly -----------------
+
+
+def test_apply_deletes_raises_on_empty_key_tuple(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    t.delete_where(F.col("id") == 3, ["id"])
+    # corrupt the manifest the way a malformed/legacy writer would:
+    # strip the per-entry keys and the manifest-level delete_keys
+    mpath = t._manifest_path(t.current_version())
+    man = json.load(open(mpath))
+    for e in man["delete_list"]:
+        e.pop("keys", None)
+    man.pop("delete_keys", None)
+    with open(mpath, "w") as f:
+        json.dump(man, f)
+    with pytest.raises(ValueError, match="empty key tuple"):
+        t.read().collect()
+
+
+# -- ADVICE r05 #3: staged sweep vs concurrent publish ---------------------
+
+
+def test_vacuum_staged_sweep_spares_published_stage(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    token = t.stage_append(
+        spark.createDataFrame([(50, 0, 50.0)], "id int, seq int, v double")
+    )
+    desc_path = os.path.join(t._mdir, f"{token}.json")
+    # simulate the race window: publish() has committed the manifest
+    # referencing the staged files but has NOT yet removed the
+    # descriptor — replay publish's commit step by hand
+    desc = t._staged(token)
+    man = t.manifest()
+    t._commit(
+        man["version"] + 1,
+        "append",
+        man["file_list"] + desc["files"],
+        schema_json=man.get("schema_json"),
+    )
+    assert os.path.exists(desc_path)  # descriptor still present
+    old = time.time() - 3600
+    os.utime(desc_path, (old, old))  # aged well past the sweep horizon
+    dropped = t.vacuum(retain_versions=10, sweep_staged_older_than_s=60)
+    staged_rel = {f["path"] for f in desc["files"]}
+    assert not (set(dropped) & staged_rel)
+    # the committed snapshot still reads the staged rows
+    assert t.read().filter("id = 50").count() == 1
+    for rel in staged_rel:
+        assert os.path.exists(os.path.join(t.path, rel))
+
+
+def test_vacuum_staged_sweep_still_reclaims_abandoned_stage(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    token = t.stage_append(
+        spark.createDataFrame([(60, 0, 60.0)], "id int, seq int, v double")
+    )
+    desc_path = os.path.join(t._mdir, f"{token}.json")
+    old = time.time() - 3600
+    os.utime(desc_path, (old, old))
+    dropped = t.vacuum(retain_versions=10, sweep_staged_older_than_s=60)
+    assert dropped  # the abandoned stage's files were reclaimed
+    assert not os.path.exists(desc_path)
+    assert t.read().filter("id = 60").count() == 0
