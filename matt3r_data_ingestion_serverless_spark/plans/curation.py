@@ -386,30 +386,65 @@ def ns_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sketch_hll_rollup")  # no oracle: datasketches binary is engine-specific
+@register(
+    "sketch_hll_rollup",
+    sql="""
+WITH tok AS MATERIALIZED (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents
+)
+SELECT source,
+       count(DISTINCT term) AS exact_distinct_terms,
+       TRUE AS within_bounds
+FROM tok GROUP BY source
+UNION ALL
+SELECT 'ALL', count(DISTINCT term), TRUE FROM tok
+""",
+)
 def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup: per-source HLL sketches of the distinct
     term vocabulary, then a GLOBAL estimate obtained by UNIONING the
     per-source sketches — never re-scanning the corpus. This is the
     100 TB pattern for distinct-count dashboards: materialize small
     partial sketches per partition/day, answer any rollup by merging
-    kilobytes. (Apache DataSketches HLL via hll_sketch_agg /
-    hll_union_agg; estimates are engine-specific → rows-only driver
-    check, accuracy asserted against exact counts in pytest.)"""
+    kilobytes (Apache DataSketches HLL via hll_sketch_agg /
+    hll_union_agg). Gradeable sketch contract (VERDICT r05 next-step
+    3): estimates are engine-specific, so each row carries the EXACT
+    distinct count plus a ``within_bounds`` flag asserting the sketch
+    estimate sits inside the lgK=14 error envelope (rsd ≈ 0.81 % → 4 %
+    is ≈ 5σ, plus absolute slack for tiny sources); the oracle
+    recomputes the exact counts and expects TRUE — including for the
+    union-merged ALL row, which must estimate the global vocabulary
+    without re-scanning."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode(text.tokens(F.col("text"))).alias("term"))
+
+    def within(est, exact):
+        return F.abs(est - exact) <= 0.04 * exact + 5
+
     per_source = tok.groupBy("source").agg(
-        F.hll_sketch_agg("term", F.lit(14)).alias("sk")
+        F.hll_sketch_agg("term", F.lit(14)).alias("sk"),
+        F.countDistinct("term").alias("exact_distinct_terms"),
     )
     per_source = _pin(per_source)
     source_rows = per_source.select(
-        "source", F.hll_sketch_estimate("sk").cast("long").alias("est_distinct_terms")
+        "source",
+        "exact_distinct_terms",
+        within(
+            F.hll_sketch_estimate("sk").cast("long"),
+            F.col("exact_distinct_terms"),
+        ).alias("within_bounds"),
     )
-    global_row = per_source.agg(
-        F.hll_union_agg("sk").alias("sk")
-    ).select(
-        F.lit("ALL").alias("source"),
-        F.hll_sketch_estimate("sk").cast("long").alias("est_distinct_terms"),
+    global_row = (
+        per_source.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(tok.agg(F.countDistinct("term").alias("exact_distinct_terms")))
+        .select(
+            F.lit("ALL").alias("source"),
+            "exact_distinct_terms",
+            within(
+                F.hll_sketch_estimate("sk").cast("long"),
+                F.col("exact_distinct_terms"),
+            ).alias("within_bounds"),
+        )
     )
     return source_rows.unionByName(global_row)
 

@@ -500,15 +500,48 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_parts")  # no oracle: approximation is engine-specific
+@register(
+    "approx_distinct_parts",
+    sql="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(DISTINCT l_suppkey) AS exact_supps,
+       TRUE AS parts_within_bounds,
+       TRUE AS supps_within_bounds
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for
-    distinct counting; rows-only check (sketches differ across engines
-    by design)."""
+    distinct counting. Gradeable sketch contract (VERDICT r05 next-step
+    3): the raw estimate is engine-specific and would never hash-match,
+    so the result carries the EXACT count plus a Spark-computed
+    ``within_bounds`` flag asserting the estimate sits inside the
+    documented HLL++ error envelope (default rsd 0.05 → 3σ = 15 %,
+    plus a small absolute slack for tiny groups); the oracle recomputes
+    the exact count and expects the flag TRUE. HLL++ is hash-based and
+    deterministic, so the flag is stable across runs — an estimate
+    drifting out of envelope turns the row red in CORRECTNESS."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+
+    def within(est, exact):
+        return F.abs(est - exact) <= 0.15 * exact + 5
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("_ap"),
+            F.approx_count_distinct("l_suppkey").alias("_as"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_suppkey").alias("exact_supps"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_supps",
+            within(F.col("_ap"), F.col("exact_parts")).alias("parts_within_bounds"),
+            within(F.col("_as"), F.col("exact_supps")).alias("supps_within_bounds"),
+        )
     )
 
 
@@ -620,24 +653,52 @@ def j5_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_plan(c, source, ["c_custkey"], delete_condition=F.col("op") == "D")
 
 
-@register("approx_quantiles_by_flag")  # rows-only: sketch internals are engine-specific
+@register(
+    "approx_quantiles_by_flag",
+    sql="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
+       TRUE AS p50_within_bounds,
+       TRUE AS p90_within_bounds,
+       TRUE AS p99_within_bounds
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def approx_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB quantile path: approx_percentile's mergeable sketch
     aggregates map-side and combines in one narrow shuffle — no
-    per-group sort, bounded memory at any cardinality. Exact
-    quantiles_by_flag is the hash-matched oracle twin; this entry gets
-    the driver's rows-only check (approximation differs per engine by
-    design)."""
+    per-group sort, bounded memory at any cardinality. Gradeable sketch
+    contract (VERDICT r05 next-step 3): the estimate itself is
+    engine-specific, so the result carries the EXACT quantiles (the
+    hash-matched values, same expressions as quantiles_by_flag) plus
+    Spark-computed ``within_bounds`` flags asserting each estimate
+    falls between the exact quantiles at rank ± 0.01 — accuracy=1000
+    guarantees rank error ≤ 1/1000, ten times tighter than the flag's
+    envelope. The oracle recomputes the exact quantiles and expects
+    TRUE."""
     li = load_table(spark, sf_dir, "lineitem")
     q = li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").alias("qty_q"),
-        F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("p99_price"),
+        F.expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").alias("qa"),
+        F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("e99"),
+        F.expr(
+            "percentile(l_quantity, array(0.49, 0.5, 0.51, 0.89, 0.9, 0.91))"
+        ).alias("xq"),
+        F.expr("percentile(l_extendedprice, array(0.98, 0.99, 0.995))").alias("xe"),
     )
-    # Scalar columns only: the driver's canonicalizer sorts cell values and
-    # cannot hash/sort array cells.
     return q.select(
         "l_returnflag",
-        F.col("qty_q")[0].alias("qty_p50"),
-        F.col("qty_q")[1].alias("qty_p90"),
-        "p99_price",
+        F.round(F.col("xq")[1], 6).alias("p50_qty"),
+        F.round(F.col("xq")[4], 6).alias("p90_qty"),
+        F.round(F.col("xe")[1], 6).alias("p99_price"),
+        F.col("qa")[0].between(F.col("xq")[0], F.col("xq")[2]).alias(
+            "p50_within_bounds"
+        ),
+        F.col("qa")[1].between(F.col("xq")[3], F.col("xq")[5]).alias(
+            "p90_within_bounds"
+        ),
+        F.col("e99").between(F.col("xe")[0], F.col("xe")[2]).alias(
+            "p99_within_bounds"
+        ),
     )
