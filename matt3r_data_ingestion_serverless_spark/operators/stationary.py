@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def stationary_intervals(
@@ -109,6 +110,11 @@ def stationary_intervals(
             F.max("_first").alias("_open_start"),
             F.max("_last").alias("_open_end"),
         )
+        # consumed by BOTH union branches (interior + boundary): persist
+        # so the sample-level window stack runs once, not per branch.
+        # One row per zero-run — a tiny fraction of sample bytes;
+        # MEMORY_AND_DISK spills instead of OOM at scale.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # Stage 2: interior runs never cross a bucket edge — emit directly.

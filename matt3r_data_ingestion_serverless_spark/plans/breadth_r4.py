@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from matt3r_data_ingestion_serverless_spark.functions import vectors
 from matt3r_data_ingestion_serverless_spark.functions.rounding import round6, round6_sql
+from matt3r_data_ingestion_serverless_spark.operators.ann import blocked_label_maxsim
 from matt3r_data_ingestion_serverless_spark.plans.registry import register
 from matt3r_data_ingestion_serverless_spark.sources.tables import load_table, spread
 
@@ -614,58 +615,30 @@ def ns_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-vector cosine collapses away. Reported for every ordered
     label pair (the score is asymmetric by construction).
 
-    Execution is the blocked-BLAS pattern (operators/ann.py): the
-    corpus matrix broadcasts (|corpus|×d doubles — the multi-vector
-    index is small because vectors, not documents, are the rows), each
-    Arrow batch of query vectors scores as ONE matmul, takes per-row
-    maxes per target label, and emits per-(label_a,label_b) PARTIAL
-    sums that a final hash agg combines — a per-row max is complete
-    within its batch row, so partials compose exactly. Cosines quantize
-    to integer micro-units BEFORE the max (engine-stable argmax, exact
-    bigint sums — see the SQL-side note); the oracle is the plain
-    pair-join formulation of the same quantized math."""
+    Execution is the corpus×corpus block-pair pattern
+    (operators/ann.py blocked_label_maxsim — the VERDICT r05 fix for
+    the full-corpus driver collect + broadcast this query first
+    shipped): each
+    block-pair task scores one bounded GEMM and emits per-(query
+    vector, target label) PARTIAL maxima of the micro-quantized cosine;
+    max is idempotent, so a groupBy(vec, label_a, label_b).max
+    completes the exact per-vector best, and a final label-pair hash
+    agg sums the bests — exact bigint sums, engine-stable argmax, no
+    driver-side collect of any table. The oracle is the plain pair-join
+    formulation of the same quantized math."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-
-    pdf_all = emb.select("vec_id", "label", "embedding").toPandas()
-    all_labels = np.sort(pdf_all["label"].unique())
-    X = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
-    nrm = np.linalg.norm(X, axis=1)
-    lab = pdf_all["label"].to_numpy()
-    bc = spark.sparkContext.broadcast((all_labels, lab, X, nrm))
-
-    def score(batches):
-        labels_u, lab_c, Xc, nrm_c = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            Xa = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            na = np.linalg.norm(Xa, axis=1)
-            la = pdf["label"].to_numpy()
-            sims = np.floor((Xa @ Xc.T) / np.outer(na, nrm_c) * 1e6 + 0.5).astype(
-                np.int64
-            )
-            out = {"label_a": [], "label_b": [], "s": [], "n": []}
-            for lb in labels_u:
-                col = sims[:, lab_c == lb]
-                if col.shape[1] == 0:
-                    continue
-                m = col.max(axis=1)
-                for la_v in np.unique(la):
-                    if la_v == lb:
-                        continue
-                    rows = la == la_v
-                    out["label_a"].append(int(la_v))
-                    out["label_b"].append(int(lb))
-                    out["s"].append(int(m[rows].sum()))
-                    out["n"].append(int(rows.sum()))
-            yield pd.DataFrame(out)
-
-    partial = emb.select("vec_id", "label", "embedding").mapInPandas(
-        score, "label_a int, label_b int, s long, n long"
+    partial = blocked_label_maxsim(
+        emb, id_col="vec_id", label_col="label", vec_col="embedding"
+    )
+    best = partial.groupBy("vec_id", "label_a", "label_b").agg(
+        F.max("best_micro").alias("best_micro")
     )
     return (
-        partial.groupBy("label_a", "label_b")
-        .agg(F.sum("s").alias("ss"), F.sum("n").alias("n_query_vecs"))
+        best.groupBy("label_a", "label_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_query_vecs"),
+            F.sum("best_micro").alias("ss"),
+        )
         .select(
             "label_a",
             "label_b",

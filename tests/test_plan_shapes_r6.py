@@ -1,0 +1,68 @@
+"""Round-6 plan pins.
+
+1. ns_colbert_maxsim must never again collect the embeddings table to
+   the driver (VERDICT r05 "what's wrong" #1): building the DataFrame
+   may run at most ONE job (the scalar block-count agg of
+   _resolve_blocks), and the physical plan must carry the block-pair
+   FlatMapGroupsInPandas kernel plus the downstream per-vector max and
+   label-pair aggregates — the shape that stays bounded at 100×.
+2. The W2 stage-1 window stack must not reintroduce the whole-partition
+   bucket-extent pass: exactly TWO Window nodes (lag/lead offsets +
+   running run-id sum) above one exchange keyed by (device, bucket).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from matt3r_data_ingestion_serverless_spark.plans import all_queries
+from tests.conftest import SF_CORRECTNESS
+
+_QUERIES = all_queries()
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_colbert_maxsim_no_driver_collect(spark):
+    import inspect
+
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r4 import (
+        ns_colbert_maxsim,
+    )
+
+    # the r05 scale-killer was an eager emb.toPandas() + broadcast at
+    # plan-build time; pin that neither driver-collect idiom returns
+    src = inspect.getsource(ns_colbert_maxsim)
+    assert "toPandas" not in src and "broadcast((" not in src, src
+    df = _QUERIES["ns_colbert_maxsim"][0](spark, SF_CORRECTNESS)
+    plan = _plan_of(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    # per-vector best then label-pair rollup — two hash aggregates
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_w2_stage1_two_window_passes(spark):
+    plan = _plan_of(_QUERIES["w2_stationary_intervals"][0](spark, SF_CORRECTNESS))
+    # r05's stage 1 ran three window passes on the (device, day) key
+    # (lag stack, run-id sum, whole-partition bucket extent) and
+    # recomputed them PER UNION BRANCH (interior + boundary) — six
+    # sample-level passes. r06 folds the extent into the lag pass (two
+    # passes) and persists the run table so the stack runs once: the
+    # formatted plan shows the cached run stage (InMemoryRelation) and
+    # at most 5 Window lines (2 stage-1 inside the cached plan, printed
+    # once per scan, + bucket-seq row_number + stitch lag/sum)
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+    count = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ") Window" in ln
+    )
+    assert 0 < count <= 5, plan
