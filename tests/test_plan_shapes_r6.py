@@ -50,6 +50,11 @@ def test_colbert_maxsim_no_driver_collect(spark):
 
 
 def test_w2_stage1_two_window_passes(spark):
+    # a prior test may have MATERIALIZED the identical cached run stage;
+    # formatted explain then re-prints the cached child plan under every
+    # InMemoryTableScan, double-counting the stage-1 windows — clear the
+    # cache so the lazy single-print shape is what's asserted
+    spark.catalog.clearCache()
     plan = _plan_of(_QUERIES["w2_stationary_intervals"][0](spark, SF_CORRECTNESS))
     # r05's stage 1 ran three window passes on the (device, day) key
     # (lag stack, run-id sum, whole-partition bucket extent) and
