@@ -130,19 +130,27 @@ def graph_modularity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from many balanced clusters (Q→1); the partition-quality number
     beside cluster_size_histogram and graph_kcore_peel's density.
     Degree sums and Σd_c² are exact int64; Q is one double expression.
-    Reuses the components labeling (ns_dup_clusters) and the edge
-    degree agg — two hash aggs and a broadcast."""
-    from matt3r_data_ingestion_serverless_spark.plans.curation import ns_dup_clusters
+    Reuses the components labeling — fed the SAME checkpointed pair
+    table via _dup_clusters_from_pairs, so the MinHash detector runs
+    once, not twice — and the edge degree agg: two hash aggs and a
+    broadcast on top of one detector pass."""
+    from matt3r_data_ingestion_serverless_spark.plans.curation import (
+        _dup_clusters_from_pairs,
+    )
     from matt3r_data_ingestion_serverless_spark.plans.northstar import (
         ns_dedup_minhash_lsh,
     )
 
-    pairs = ns_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = (
+        ns_dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
     edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
     m = edges.agg((F.count("*") / 2).cast("long").alias("m"))
-    lbl = ns_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    lbl = _dup_clusters_from_pairs(pairs).select("doc_id", "cluster_id")
     dc = (
         lbl.join(deg, lbl.doc_id == deg.node)
         .groupBy("cluster_id")

@@ -397,11 +397,16 @@ def ns_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus). Recall is hits/(queries·k), a ratio of exact integers,
     so the value is bit-stable across engines.
 
-    Scale: the brute side is the existing broadcast-queries plan; each
-    curve point joins two (query, match) top-k lists on their composite
-    key — top-k-sized inputs, never corpus-sized."""
+    Scale: the brute side is the existing broadcast-queries plan. The
+    corpus-side probe join is paid ONCE for the whole curve: every
+    corpus vector lives in exactly one IVF cell, so the nprobe=p
+    candidate set is exactly ``probe_rn <= p`` of the nprobe=max(_NPROBES)
+    candidate set (see _ivf_scored). The pinned candidate table is
+    (queries × probed-cell sizes) rows — top-candidate-sized, never
+    corpus-sized — and each curve point is a window + top-k join over
+    it."""
     from matt3r_data_ingestion_serverless_spark.plans.northstar import (
-        _ivf_topk,
+        _ivf_scored,
         ns_ann_cosine_topk,
     )
 
@@ -410,10 +415,17 @@ def ns_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "match_id")
         .localCheckpoint(eager=True)
     )
+    scored = _ivf_scored(spark, sf_dir, nprobe=max(_NPROBES)).localCheckpoint(
+        eager=True
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
     out = None
     for p in _NPROBES:
-        ivf = _ivf_topk(spark, sf_dir, nprobe=p).select(
-            "query_id", F.col("match_id").alias("ivf_match")
+        ivf = (
+            scored.filter(F.col("probe_rn") <= p)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _TOPK)
+            .select("query_id", F.col("match_id").alias("ivf_match"))
         )
         hits = brute.join(
             ivf,

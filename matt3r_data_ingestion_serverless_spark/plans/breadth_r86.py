@@ -255,10 +255,14 @@ def ns_rouge2_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     summarization-eval metric, applied here to audit how much of each
     near-dup is verbatim n-gram overlap.
 
-    Scale: bigram count tables are linear in tokens; the clip join
-    fans out only (pair × shared-gram) rows — pairs come from the LSH
-    band join, never all-pairs. Pairs with zero shared bigrams drop out
-    (inner join), which cannot happen for true near-dups."""
+    Scale: the bigram stage is computed ONLY for pair-member docs — a
+    broadcast semi-join of the corpus against the (tiny) distinct pair
+    ids — because every downstream join is inner on a pair side; the
+    whole-corpus bigram table the oracle nominally builds is never
+    needed. The clip join then fans out only (pair × shared-gram) rows —
+    pairs come from the LSH band join, never all-pairs. Pairs with zero
+    shared bigrams drop out (inner join), which cannot happen for true
+    near-dups."""
     from matt3r_data_ingestion_serverless_spark.plans.northstar import (
         ns_dedup_minhash_lsh,
     )
@@ -268,8 +272,15 @@ def ns_rouge2_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    w = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("ws")
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    w = (
+        load_table(spark, sf_dir, "documents")
+        .join(F.broadcast(members), "doc_id", "left_semi")
+        .select("doc_id", F.split("text", " ").alias("ws"))
     )
     bg = (
         w.select(

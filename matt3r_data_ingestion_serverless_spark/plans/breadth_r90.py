@@ -60,17 +60,20 @@ def ns_dup_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ranking compares micro-rounded incident sums so a float
     summation-order ulp can never flip the election.
 
-    Scale: cluster labels come from the iterative min-label components
-    (ns_dup_clusters); incident sums are one groupBy over the mirrored
-    edge list; the election is one window over cluster-sized
-    partitions. Nothing rescans the corpus."""
-    from matt3r_data_ingestion_serverless_spark.plans.curation import ns_dup_clusters
+    Scale: cluster labels come from the iterative min-label components,
+    fed the SAME checkpointed pair table (_dup_clusters_from_pairs) so
+    the MinHash detector runs once, not twice; incident sums are one
+    groupBy over the mirrored edge list; the election is one window
+    over cluster-sized partitions. Nothing rescans the corpus."""
+    from matt3r_data_ingestion_serverless_spark.plans.curation import (
+        _dup_clusters_from_pairs,
+    )
     from matt3r_data_ingestion_serverless_spark.plans.northstar import (
         ns_dedup_minhash_lsh,
     )
 
     pairs = ns_dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
-    lbl = ns_dup_clusters(spark, sf_dir).select(
+    lbl = _dup_clusters_from_pairs(pairs.select("doc_a", "doc_b")).select(
         F.col("doc_id").alias("node"), "cluster_id", "cluster_size"
     )
     inc = (

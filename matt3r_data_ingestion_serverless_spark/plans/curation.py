@@ -249,6 +249,15 @@ def ns_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = ns_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return _dup_clusters_from_pairs(pairs)
+
+
+def _dup_clusters_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Connected-components labeling from an explicit verified-pair
+    table — the reusable tail of ns_dup_clusters. Callers that ALSO
+    need the pair set (modularity Q, medoid election) pass their
+    already-checkpointed pairs here instead of re-running the whole
+    MinHash detector a second time inside ns_dup_clusters."""
     # eager checkpoint (not lazy persist): every propagation round joins
     # edges; materializing once up front keeps the LSH pipeline out of
     # round-1's plan and feeds AQE real edge stats (same rationale as

@@ -514,8 +514,15 @@ SELECT query_id, match_id, rank, cos_sim FROM ranked WHERE rank <= 5
 """
 
 
-def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    """Shared IVF plan; see ns_ann_ivf_topk for the design notes."""
+def _ivf_scored(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """IVF candidate scores WITH the probe rank that admitted each
+    candidate: (query_id, match_id, cos_sim, probe_rn). Because every
+    corpus vector lives in exactly ONE cell, a (query, match) pair is
+    admitted by exactly one probe — the match's own cell — so the
+    nprobe=p candidate set is precisely ``probe_rn <= p`` of the
+    nprobe=max set. ns_ivf_recall_curve exploits this to pay the
+    corpus-side probe join ONCE for the whole curve instead of once per
+    curve point; _ivf_topk is the single-point view."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     e = emb.select("vec_id", "label", vectors.as_double(F.col("embedding")).alias("v"))
     n = _pin(e.withColumn("nrm", vectors.l2_norm(F.col("v"))))
@@ -542,15 +549,27 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .withColumn("cent_sim", cos_qc)
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "qnrm", F.col("label").alias("probe_label"))
+        .select(
+            "query_id", "qv", "qnrm", F.col("label").alias("probe_label"), "rn"
+        )
     )
     cos_qn = F.round(
         vectors.cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")), 6
     )
-    scored = n.join(
+    return n.join(
         F.broadcast(qc),
         (F.col("label") == F.col("probe_label")) & (F.col("vec_id") != F.col("query_id")),
-    ).select("query_id", F.col("vec_id").alias("match_id"), cos_qn.alias("cos_sim"))
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("match_id"),
+        cos_qn.alias("cos_sim"),
+        F.col("rn").alias("probe_rn"),
+    )
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """Shared IVF plan; see ns_ann_ivf_topk for the design notes."""
+    scored = _ivf_scored(spark, sf_dir, nprobe)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -147,3 +147,62 @@ def test_vacuum_staged_sweep_still_reclaims_abandoned_stage(spark, tmp_path):
     assert dropped  # the abandoned stage's files were reclaimed
     assert not os.path.exists(desc_path)
     assert t.read().filter("id = 60").count() == 0
+
+
+# -- bucketed write: exact slot routing (plain write, no partitionBy) ------
+
+
+def test_murmur3_slots_match_spark_hash_partitioning(spark):
+    """_hash_slots' pure-Python murmur3 must agree with the JVM
+    Murmur3Hash expression (seed 42) that repartition(n, col) uses —
+    the whole slot-routing scheme rests on this equality."""
+    from matt3r_data_ingestion_serverless_spark.operators.lakehouse import (
+        _hash_slots,
+        _murmur3_int32,
+        _pmod,
+    )
+
+    vals = list(range(0, 64)) + [2**31 - 1, -1, -2**31, 123456789]
+    rows = spark.createDataFrame([(v,) for v in vals], "i int").select(
+        "i", F.hash("i").alias("h"), F.pmod(F.hash("i"), F.lit(7)).alias("p")
+    ).collect()
+    for r in rows:
+        assert _murmur3_int32(r.i) == r.h
+        assert _pmod(_murmur3_int32(r.i), 7) == r.p
+    for n in (1, 2, 4, 8, 16):
+        slots = _hash_slots(n)
+        assert len(set(slots)) == n
+        assert [_pmod(_murmur3_int32(j), n) for j in slots] == list(range(n))
+
+
+def test_bucketed_write_one_file_per_bucket_part_index(spark, tmp_path):
+    """The plain-write bucketed layout: exactly one parquet file per
+    non-empty bucket, file part-index == bucket id, manifest stats keep
+    the per-file key ranges disjoint, and read() round-trips."""
+    rows = [(i, 0, float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id int, seq int, v double")
+    t = LakehouseTable.create_bucketed(
+        df,
+        str(tmp_path / "b"),
+        key="id",
+        boundaries=[26, 51, 76],
+        stats_cols=["id"],
+        keys=["id"],
+        version_col="seq",
+    )
+    man = t.manifest()
+    assert len(man["file_list"]) == 4
+    seen_ranges = []
+    for b, entry in enumerate(sorted(man["file_list"], key=lambda e: e["path"])):
+        name = os.path.basename(entry["path"])
+        assert name.startswith(f"part-{b:05d}-")  # slot routing held
+        assert "_pbkt" not in entry["path"]  # plain write, no partition dirs
+        seen_ranges.append(tuple(entry["stats"]["id"]))
+    assert seen_ranges == [(1, 25), (26, 50), (51, 75), (76, 100)]
+    assert t.read().count() == 100
+    # merge keeps the layout: touch one bucket, others carried by reference
+    src = spark.createDataFrame([(30, 1, 999.0)], "id int, seq int, v double")
+    t.merge(src, ["id"], version_col="seq")
+    assert t.last_merge_pruned == (3, 4)
+    assert t.read().filter("id = 30").first().v == 999.0
+    assert t.read().count() == 100
