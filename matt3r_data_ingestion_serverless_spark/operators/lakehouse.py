@@ -1024,16 +1024,50 @@ class LakehouseTable:
         files — content-identical, file-count-reduced. At 100 TB this is
         the periodic small-file compaction every lakehouse runs against
         streaming-ingest fragmentation; prior snapshots (and time
-        travel into them) are untouched."""
+        travel into them) are untouched.
+
+        When a numeric stat column covers every live file, the rewrite
+        is RANGE-CLUSTERED on it (the bucketed one-job write, split
+        points interpolated from the manifest's own global [lo, hi] —
+        no sampling job): a hash `repartition(k)` would scatter the key
+        across every output file, widening each file's min/max span to
+        the full keyspace and blinding `_touched_files` pruning for
+        every merge AFTER the compaction. Range clustering is what a
+        real lakehouse OPTIMIZE ... ZORDER/cluster-by does, for the same
+        reason. Falls back to the hash layout + stats harvest when no
+        numeric stat column spans all files."""
         man = self.manifest()
         stats_cols = getattr(self, "_stats_cols", None) or list(
             {c for f in man["file_list"] for c in f["stats"]}
         )
         df = self.read()
         version = man["version"] + 1
-        files, _ = self._write_data_files(
-            df.repartition(target_files), version, stats_cols
-        )
+        key = None
+        entries = man["file_list"]
+        for c in stats_cols:
+            if entries and all(c in e["stats"] for e in entries) and all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for e in entries
+                for v in e["stats"][c]
+            ):
+                key = c
+                break
+        if key is not None and target_files > 1:
+            lo = min(e["stats"][key][0] for e in entries)
+            hi = max(e["stats"][key][1] for e in entries)
+            boundaries = sorted(
+                {lo + (hi - lo) * i // target_files if isinstance(lo, int)
+                 else lo + (hi - lo) * i / target_files
+                 for i in range(1, target_files)}
+            )
+            boundaries = [b for b in boundaries if lo < b <= hi]
+            files, _ = self._write_bucketed_files(
+                df, version, key, boundaries, stats_cols
+            )
+        else:
+            files, _ = self._write_data_files(
+                df.repartition(target_files), version, stats_cols
+            )
         self._commit(version, "compact", files, schema_json=man.get("schema_json"))
         return self
 

@@ -206,3 +206,23 @@ def test_bucketed_write_one_file_per_bucket_part_index(spark, tmp_path):
     assert t.last_merge_pruned == (3, 4)
     assert t.read().filter("id = 30").first().v == 999.0
     assert t.read().count() == 100
+
+
+def test_compact_preserves_range_pruning(spark, tmp_path):
+    """Compaction must not blind _touched_files: after compact(), the
+    rewritten files stay range-disjoint on the stat key, so a key-local
+    merge still prunes to a strict subset (a hash repartition layout
+    would give every file the full keyspace and touch all of them)."""
+    t = _seed(spark, tmp_path, rows=[(i, 0, float(i)) for i in range(1, 201)])
+    t.compact(target_files=4)
+    man = t.manifest()
+    assert len(man["file_list"]) == 4
+    spans = sorted(tuple(e["stats"]["id"]) for e in man["file_list"])
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a < lo_b  # disjoint, ascending
+    src = spark.createDataFrame([(3, 1, 999.0)], "id int, seq int, v double")
+    t.merge(src, ["id"])
+    pruned, total = t.last_merge_pruned
+    assert total == 4 and pruned == 3  # only the low-range file touched
+    assert t.read().count() == 200
+    assert t.read().filter("id = 3").first().v == 999.0
