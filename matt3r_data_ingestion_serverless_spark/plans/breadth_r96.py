@@ -72,11 +72,17 @@ def ns_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = ns_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(
         eager=True
     )
-    both = mh.join(sh, ["doc_a", "doc_b"]).count()
-    nm, ns = mh.count(), sh.count()
-    return spark.createDataFrame(
-        [(nm, ns, both)],
-        "minhash_pairs BIGINT, simhash_pairs BIGINT, agreed_pairs BIGINT",
+    # all three counts in ONE action over the outer-joined pair sets
+    # (pair-table-sized) — not three separate count jobs
+    j = mh.withColumn("_m", F.lit(1)).join(
+        sh.withColumn("_s", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    return j.agg(
+        F.count("_m").alias("minhash_pairs"),
+        F.count("_s").alias("simhash_pairs"),
+        F.count(F.when(F.col("_m").isNotNull() & F.col("_s").isNotNull(), 1)).alias(
+            "agreed_pairs"
+        ),
     ).select(
         "minhash_pairs",
         "simhash_pairs",

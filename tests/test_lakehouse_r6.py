@@ -226,3 +226,29 @@ def test_compact_preserves_range_pruning(spark, tmp_path):
     assert total == 4 and pruned == 3  # only the low-range file touched
     assert t.read().count() == 200
     assert t.read().filter("id = 3").first().v == 999.0
+
+
+def test_compact_degenerate_key_extent_single_bucket(spark, tmp_path):
+    """All rows share one key value: interpolation yields no valid split
+    points, compaction degrades to a single bucket file, content intact."""
+    t = _seed(spark, tmp_path, rows=[(7, 0, float(i)) for i in range(50)])
+    t.compact(target_files=4)
+    man = t.manifest()
+    assert len(man["file_list"]) == 1
+    assert man["rows"] == 50
+    assert t.read().count() == 50
+
+
+def test_compact_float_and_negative_keys(spark, tmp_path):
+    """Float stat key spanning negative values: boundaries interpolate in
+    float space and the rewritten files stay range-disjoint."""
+    rows = [(i, 0, -100.0 + 7.5 * i) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id int, seq int, v double")
+    t = LakehouseTable.create(df, str(tmp_path / "t"), stats_cols=["v"])
+    t.compact(target_files=4)
+    man = t.manifest()
+    assert len(man["file_list"]) == 4
+    spans = sorted(tuple(e["stats"]["v"]) for e in man["file_list"])
+    for (_, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert hi_a < lo_b
+    assert t.read().count() == 100
