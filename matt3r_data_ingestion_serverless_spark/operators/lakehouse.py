@@ -987,15 +987,20 @@ class LakehouseTable:
             merged = merged.select(
                 *[F.col(f.name).cast(f.dataType).alias(f.name) for f in full_fields]
             )
-            if version_col is not None:
-                # keep the rewritten files key-range-disjoint for the
-                # NEXT batch's prune, with boundaries taken from the
-                # touched files' existing manifest stats (no
-                # repartitionByRange sampling job) and per-file stats
-                # observed DURING the write (no harvest job): exactly
-                # two jobs per streamed CDC batch — touched-scan + write
-                k0 = keys[0]
-                los = sorted(e["stats"][k0][0] for e in hit if k0 in e["stats"])
+            # keep the rewritten files key-range-disjoint for the NEXT
+            # batch's prune, with boundaries taken from the touched
+            # files' existing manifest stats (no repartitionByRange
+            # sampling job) and per-file stats observed DURING the
+            # write (no harvest job): exactly two jobs per merge —
+            # touched-scan + write. This applies to BOTH merge flavors;
+            # a hash layout here would widen every rewritten file's
+            # key span to the full touched range and blind
+            # _touched_files for every later merge (the same flaw
+            # compact() had). Fallback to hash layout + harvest only
+            # when the touched files carry no stats for the first key.
+            k0 = keys[0]
+            los = sorted(e["stats"][k0][0] for e in hit if k0 in e["stats"])
+            if hit and len(los) == len(hit):
                 new_files, out_dir = self._write_bucketed_files(
                     merged, version, k0, los[1:], stats_cols
                 )

@@ -252,3 +252,28 @@ def test_compact_float_and_negative_keys(spark, tmp_path):
     for (_, hi_a), (lo_b, _) in zip(spans, spans[1:]):
         assert hi_a < lo_b
     assert t.read().count() == 100
+
+
+def test_plain_merge_preserves_range_pruning(spark, tmp_path):
+    """The non-version merge flavor must also rewrite touched files
+    range-disjoint: after a key-local merge into a range-clustered
+    table, a SECOND key-local merge still prunes to a strict subset."""
+    t = _seed(spark, tmp_path, rows=[(i, 0, float(i)) for i in range(1, 201)])
+    t.compact(target_files=4)  # range-clustered baseline
+    t.merge(
+        spark.createDataFrame([(5, 1, 501.0)], "id int, seq int, v double"),
+        ["id"],
+    )
+    man = t.manifest()
+    spans = sorted(tuple(e["stats"]["id"]) for e in man["file_list"])
+    for (_, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert hi_a < lo_b  # still disjoint after the plain merge
+    t.merge(
+        spark.createDataFrame([(190, 1, 901.0)], "id int, seq int, v double"),
+        ["id"],
+    )
+    pruned, total = t.last_merge_pruned
+    assert pruned == total - 1  # only the high-range file touched
+    assert t.read().filter("id = 5").first().v == 501.0
+    assert t.read().filter("id = 190").first().v == 901.0
+    assert t.read().count() == 200
