@@ -207,12 +207,14 @@ def ns_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked_cosine_edges,
     )
     from matt3r_data_ingestion_serverless_spark.plans.northstar import (
-        _emb_normed,
         _pin,
     )
 
-    n = _emb_normed(spark, sf_dir)
     emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # the role assignment only needs the full id universe — a pruned
+    # vec_id scan, NOT the pinned normalized-vector table (_emb_normed
+    # would persist vectors+norms just to list ids)
+    ids = emb.select("vec_id")
     # mirror=True: both edge directions come out of the scoring task
     # itself, so the GEMM stage materializes exactly ONCE into the pin
     # (a union-with-self would scan the applyInPandas stage twice)
@@ -256,7 +258,7 @@ def ns_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cluster_id").alias("b_cluster"))
     )
     out = (
-        n.select("vec_id")
+        ids
         .join(labels.withColumnRenamed("node", "vec_id"), "vec_id", "left")
         .join(border.withColumnRenamed("node", "vec_id"), "vec_id", "left")
     )
