@@ -277,3 +277,30 @@ def test_plain_merge_preserves_range_pruning(spark, tmp_path):
     assert t.read().filter("id = 5").first().v == 501.0
     assert t.read().filter("id = 190").first().v == 901.0
     assert t.read().count() == 200
+
+
+def test_merge_with_overlapping_legacy_layout_dedup_boundaries(spark, tmp_path):
+    """A table created from an arbitrary (overlapping-range) layout can
+    feed the bucketed merge writer duplicate split points — the CASE
+    bucket assignment must still produce disjoint, content-complete
+    files (duplicate boundaries just leave some bucket ids empty)."""
+    df = spark.createDataFrame(
+        [(i, 0, float(i)) for i in range(1, 101)], "id int, seq int, v double"
+    ).repartition(4)  # hash layout: every file spans ~the full key range
+    t = LakehouseTable.create(df, str(tmp_path / "t"), stats_cols=["id"])
+    man0 = t.manifest()
+    assert len(man0["file_list"]) == 4
+    lows = sorted(e["stats"]["id"][0] for e in man0["file_list"])
+    assert lows[0] == lows[1] or lows[-1] - lows[0] < 50  # overlapping spans
+    src = spark.createDataFrame([(50, 1, 999.0)], "id int, seq int, v double")
+    t.merge(src, ["id"])  # touches all files; rewrite goes bucketed
+    assert t.read().count() == 100
+    assert t.read().filter("id = 50").first().v == 999.0
+    man1 = t.manifest()
+    spans = sorted(tuple(e["stats"]["id"]) for e in man1["file_list"])
+    for (_, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert hi_a < lo_b  # rewritten files are range-disjoint
+    # and a follow-up key-local merge prunes against the repaired layout
+    t.merge(spark.createDataFrame([(99, 2, 1.0)], "id int, seq int, v double"), ["id"])
+    pruned, total = t.last_merge_pruned
+    assert pruned >= 1
