@@ -304,3 +304,34 @@ def test_merge_with_overlapping_legacy_layout_dedup_boundaries(spark, tmp_path):
     t.merge(spark.createDataFrame([(99, 2, 1.0)], "id int, seq int, v double"), ["id"])
     pruned, total = t.last_merge_pruned
     assert pruned >= 1
+
+
+def test_bucketed_write_falls_back_to_harvest_on_bad_routing(spark, tmp_path, monkeypatch):
+    """If slot routing ever diverges (engine hash change), buckets
+    collide into shared files and the missing-part-index check must
+    route the commit through the stats harvest — correctness never
+    rests on the fast path."""
+    from matt3r_data_ingestion_serverless_spark.operators import lakehouse as lh
+
+    monkeypatch.setattr(lh, "_hash_slots", lambda n: [0] * n)  # all buckets → one task
+    df = spark.createDataFrame(
+        [(i, 0, float(i)) for i in range(1, 101)], "id int, seq int, v double"
+    )
+    t = lh.LakehouseTable.create_bucketed(
+        df,
+        str(tmp_path / "b"),
+        key="id",
+        boundaries=[26, 51, 76],
+        stats_cols=["id"],
+        keys=["id"],
+        version_col="seq",
+    )
+    man = t.manifest()
+    assert man["rows"] == 100
+    assert t.read().count() == 100
+    # harvest stats are per actual file, so pruning stays CORRECT
+    # (conservative): a merge still sees every key inside some span
+    src = spark.createDataFrame([(30, 1, 999.0)], "id int, seq int, v double")
+    t.merge(src, ["id"], version_col="seq")
+    assert t.read().filter("id = 30").first().v == 999.0
+    assert t.read().count() == 100
