@@ -234,14 +234,28 @@ def ns_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     while True:
+        # neighbor-min PLUS a pointer jump through the label's own
+        # current label (labels are live node ids, so the parent lookup
+        # always hits): O(log d) rounds instead of
+        # eccentricity-from-min rounds (measured 5 → 3 on the sf0.1
+        # ε-graph), same component-min fixpoint — see
+        # curation._dup_clusters_from_pairs for the rationale.
         neigh = (
             ce.join(labels, ce.dst == labels.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        nxt = F.least(F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id")))
+        parent = labels.select(
+            F.col("node").alias("cluster_id"), F.col("cluster_id").alias("pmin")
+        )
+        nxt = F.least(
+            F.col("cluster_id"),
+            F.coalesce("nmin", F.col("cluster_id")),
+            F.coalesce("pmin", F.col("cluster_id")),
+        )
         new_labels = (
             labels.join(neigh, "node", "left")
+            .join(parent, "cluster_id", "left")
             .select(
                 "node", (nxt < F.col("cluster_id")).alias("chg"), nxt.alias("cluster_id")
             )

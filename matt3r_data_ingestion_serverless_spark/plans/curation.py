@@ -275,17 +275,33 @@ def _dup_clusters_from_pairs(pairs: DataFrame) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     while True:
-        # candidate label for each node: min over neighbors' labels
+        # candidate label for each node: min over neighbors' labels,
+        # POINTER-JUMPED through the label's own current label (a label
+        # is always a live node id, so the parent lookup always hits).
+        # Plain neighbor-min converges in eccentricity-from-min rounds
+        # (measured 5 on the sf0.1 ε-graph); the extra label-of-label
+        # hop halves the remaining distance each round — O(log d)
+        # rounds, the pointer-jumping half of the large/small-star CC
+        # algorithm — with the SAME fixpoint (component min), so the
+        # recursive-CTE oracle is unchanged.
         neigh = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
-        nxt = F.least(F.col("cluster_id"), F.coalesce("neigh_min", F.col("cluster_id")))
+        parent = labels.select(
+            F.col("node").alias("cluster_id"), F.col("cluster_id").alias("parent_min")
+        )
+        nxt = F.least(
+            F.col("cluster_id"),
+            F.coalesce("neigh_min", F.col("cluster_id")),
+            F.coalesce("parent_min", F.col("cluster_id")),
+        )
         # carry the convergence flag through the checkpoint: the changed
         # count reads the materialized rows — no second join per round
         new_labels = (
             labels.join(neigh, "node", "left")
+            .join(parent, "cluster_id", "left")
             .select(
                 "node",
                 (nxt < F.col("cluster_id")).alias("chg"),
