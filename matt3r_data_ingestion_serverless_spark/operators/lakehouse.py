@@ -388,19 +388,30 @@ class LakehouseTable:
         out = os.path.join(self.path, sub)
         out_df.write.mode("overwrite").parquet(out)
         m = obs.get
-        by_idx: dict[int, str] = {}
+        by_idx: dict[int, list[str]] = {}
         for p in os.listdir(out):
             if p.startswith("part-") and p.endswith(".parquet"):
-                by_idx[int(p.split("-")[1])] = p
+                by_idx.setdefault(int(p.split("-")[1]), []).append(p)
+        nonempty = {i for i in range(n) if m[f"__n_{i}"]}
+        if set(by_idx) != nonempty or any(len(v) != 1 for v in by_idx.values()):
+            # Exact slot routing puts bucket i wholly in ONE file of
+            # task i — so the part indices on disk must be exactly the
+            # non-empty buckets, one file each. Every routing divergence
+            # breaks that: a MISSING index (bucket rows landed
+            # elsewhere), a COLLISION (a task emitted >1 file — e.g. the
+            # session set spark.sql.files.maxRecordsPerFile — or two
+            # buckets hashed onto one slot), or an ORPHAN file at an
+            # empty-bucket index (another bucket's rows split onto it).
+            # Recording one file per bucket index would then list files
+            # that don't hold the counted rows and drop the rest on
+            # read(). Fall back to the per-file harvest for the whole
+            # commit dir, which stats every file that actually exists.
+            return self._harvest_stats(out, sub, df.schema, stats_cols), out
         files: list[dict] = []
         for i in range(n):
             rows = m[f"__n_{i}"]
             if not rows:
                 continue
-            if i not in by_idx:  # pragma: no cover — exact slot routing
-                # puts bucket i wholly in task i; if that ever changes,
-                # fall back to the per-file harvest for this commit dir
-                return self._harvest_stats(out, sub, df.schema, stats_cols), out
             stats: dict[str, list] = {}
             for c in portable:
                 lo = _json_portable(m[f"__lo_{i}_{c}"])
@@ -409,7 +420,7 @@ class LakehouseTable:
                     stats[c] = [lo, hi]
             files.append(
                 {
-                    "path": os.path.join(sub, by_idx[i]),
+                    "path": os.path.join(sub, by_idx[i][0]),
                     "rows": rows,
                     "stats": stats,
                 }
