@@ -121,6 +121,7 @@ from matt3r_data_ingestion_serverless_spark.plans import breadth_r96  # noqa: F4
 from matt3r_data_ingestion_serverless_spark.plans import breadth_r97  # noqa: F401,E402
 from matt3r_data_ingestion_serverless_spark.plans import breadth_r98  # noqa: F401,E402
 from matt3r_data_ingestion_serverless_spark.plans import breadth_r99  # noqa: F401,E402
+from matt3r_data_ingestion_serverless_spark.plans import breadth_r100  # noqa: F401,E402
 
 # ts_streamed_bollinger shares the batch operator's oracle; the batch
 # entry registers in breadth_r4, after telemetry — attach once both exist.
