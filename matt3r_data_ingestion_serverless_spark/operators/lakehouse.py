@@ -574,19 +574,21 @@ class LakehouseTable:
             (hit if overlaps else miss).append(entry)
         return hit, miss
 
-    def scan(self, bounds: dict[str, tuple]) -> DataFrame:
+    def scan(self, bounds: dict[str, tuple], version: int | None = None) -> DataFrame:
         """File-skipping read: only files whose stats overlap ``bounds``
         are opened (the caller still applies the exact row filter — the
         manifest prune is a superset, like Iceberg's). ``bounds`` maps
-        column → (lo, hi), inclusive. The snapshot schema is applied
-        exactly as in :meth:`read`, so a post-evolution scan over
-        pre-evolution files still projects the evolved columns (as
-        null) instead of inheriting whichever file schema Spark
-        sampled."""
-        man = self.manifest()
+        column → (lo, hi), inclusive. ``version`` bounds a RETAINED
+        historical snapshot instead of the current one (time travel +
+        file skipping compose — Iceberg's snapshot scan). The snapshot
+        schema is applied exactly as in :meth:`read`, so a
+        post-evolution scan over pre-evolution files still projects the
+        evolved columns (as null) instead of inheriting whichever file
+        schema Spark sampled."""
+        man = self.manifest(version)
         hit, _ = self._split_by_range(man, bounds)
         if not hit:
-            return self.read().limit(0)
+            return self.read(version).limit(0)
         return self._apply_deletes(
             self._apply_schema_reader(man).parquet(
                 *[os.path.join(self.path, f["path"]) for f in hit]
@@ -759,14 +761,40 @@ class LakehouseTable:
         return self
 
     def _touched_files(
-        self, man: dict, source_df: DataFrame, keys: list[str]
+        self,
+        man: dict,
+        source_df: DataFrame,
+        keys: list[str],
+        source_intervals: list[tuple] | None = None,
     ) -> tuple[list[dict], list[dict]]:
         """(touched, untouched) file entries: a file is touched iff at
         least one source key row falls inside its [min, max] stats on
         every stat-covered key column. Exact at file granularity and
         robust to scattered batches; files lacking stats on all key
-        columns are conservatively touched."""
+        columns are conservatively touched.
+
+        ``source_intervals``: caller-supplied [lo, hi] covers of the
+        source batch's ``keys[0]`` values (e.g. read driver-side from
+        the batch files' parquet footers). When given, touched files
+        are found by pure interval overlap — ZERO Spark jobs — instead
+        of the batch-scan agg. The cover must be COMPLETE: every source
+        row's first key must lie inside some interval, or an untouched
+        file could retain a stale copy of a merged key. Intervals only
+        prune on keys[0]; extra stat keys are skipped (conservative —
+        more files touched, never fewer)."""
         entries = man["file_list"]
+        if source_intervals is not None:
+            k0 = keys[0]
+            hit, untouched = [], []
+            for e in entries:
+                st = e["stats"].get(k0)
+                if st is None or any(
+                    slo <= st[1] and shi >= st[0] for slo, shi in source_intervals
+                ):
+                    hit.append(e)
+                else:
+                    untouched.append(e)
+            return hit, untouched
         stat_keys = [k for k in keys if any(k in e["stats"] for e in entries)]
         hit_ids: set[int] = {
             i for i, e in enumerate(entries) if not any(k in e["stats"] for k in stat_keys)
@@ -837,6 +865,7 @@ class LakehouseTable:
         evolve_schema: bool = False,
         max_retries: int = 5,
         version_col: str | None = None,
+        source_intervals: list[tuple] | None = None,
     ) -> "LakehouseTable":
         """MERGE INTO with manifest pruning: data files that cannot
         contain any source key are carried into the new snapshot BY
@@ -907,7 +936,7 @@ class LakehouseTable:
             stats_cols = getattr(self, "_stats_cols", None) or list(
                 {c for f in man["file_list"] for c in f["stats"]}
             )
-            hit, miss = self._touched_files(man, source_df, keys)
+            hit, miss = self._touched_files(man, source_df, keys, source_intervals)
             version = man["version"] + 1
             snapshot_schema = (
                 StructType.fromJson(json.loads(man["schema_json"]))

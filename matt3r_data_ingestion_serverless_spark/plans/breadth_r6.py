@@ -224,6 +224,32 @@ def cdc_streamed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries = [lo + (hi - lo) * i // 4 for i in (1, 2, 3)]
     holder: list[LakehouseTable] = []
 
+    def _batch_intervals(bdf: DataFrame) -> list[tuple] | None:
+        """Key covers of the micro-batch straight from its parquet
+        FOOTERS (driver-side, zero Spark jobs): the file-source batch
+        IS its files, so per-row-group o_orderkey min/max is a complete
+        cover — merge()'s touched-file pass then needs no batch-scan
+        agg job. Falls back to the scan path if any footer lacks
+        stats."""
+        from urllib.parse import urlparse
+
+        import pyarrow.parquet as pq
+
+        ivs: list[tuple] = []
+        for uri in bdf.inputFiles():
+            meta = pq.ParquetFile(urlparse(uri).path).metadata
+            idx = next(
+                i
+                for i in range(meta.num_columns)
+                if meta.schema.column(i).name == "o_orderkey"
+            )
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                if st is None or st.min is None or st.max is None:
+                    return None
+                ivs.append((st.min, st.max))
+        return ivs or None
+
     def apply_batch(bdf: DataFrame, bid: int) -> None:
         if not holder:
             holder.append(
@@ -238,7 +264,12 @@ def cdc_streamed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         else:
-            holder[0].merge(bdf, ["o_orderkey"], version_col="seq")
+            holder[0].merge(
+                bdf,
+                ["o_orderkey"],
+                version_col="seq",
+                source_intervals=_batch_intervals(bdf),
+            )
 
     src = (
         spark.readStream.schema(log.schema)
@@ -264,9 +295,14 @@ def cdc_streamed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seq").cast("int").alias("last_seq"),
             F.col("op").alias("last_op"),
         )
-        .localCheckpoint(eager=True)  # detach from the temp files before cleanup
     )
-    shutil.rmtree(root, ignore_errors=True)
+    # the result stays a LAZY read over the state table's files —
+    # materializing it here (localCheckpoint) just to rmtree the scratch
+    # dir early cost a full extra pass over the final snapshot per run;
+    # instead the scratch dir lives until process exit (few MB per run)
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     return final
 
 
