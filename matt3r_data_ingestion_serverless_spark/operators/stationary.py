@@ -93,7 +93,7 @@ def stationary_intervals(
     # min/max window pass the r05 plan paid (VERDICT r05 next-step 7);
     # lag/lead share one WindowExec with the run-id lag, so stage 1 is
     # one sort, two window passes, one hash aggregate.
-    runs = (
+    all_runs = (
         df.select(key, ts, speed)
         .withColumn("_bkt", bkt)
         .withColumn("_us", F.unix_micros(F.col(ts)))
@@ -102,20 +102,28 @@ def stationary_intervals(
         .withColumn("_last", F.lead("_us", 1).over(w).isNull())
         .withColumn("_chg", (F.lag("_z", 1, -1).over(w) != F.col("_z")).cast("int"))
         .withColumn("_run", F.sum("_chg").over(w))
-        .filter(F.col("_z") == 1)
+        # ALL runs (zero AND moving) aggregate here — keeping the moving
+        # runs costs only extra hash-agg groups in the same exchange
+        # (the window's (key, bucket) partitioning already satisfies the
+        # groupBy, so no shuffle either way) and buys the data-bearing
+        # bucket list below WITHOUT a second scan of the sample table
+        # (the r06 plan re-read df just to number the buckets —
+        # VERDICT r06 next-step 6).
         .groupBy(key, "_bkt", "_run")
         .agg(
             F.min("_us").alias("_start_us"),
             F.max("_us").alias("_end_us"),
             F.max("_first").alias("_open_start"),
             F.max("_last").alias("_open_end"),
+            F.max("_z").alias("_zrun"),
         )
-        # consumed by BOTH union branches (interior + boundary): persist
-        # so the sample-level window stack runs once, not per branch.
-        # One row per zero-run — a tiny fraction of sample bytes;
-        # MEMORY_AND_DISK spills instead of OOM at scale.
+        # consumed by THREE readers (interior, boundary, bucket list):
+        # persist so the sample-level window stack runs once. One row
+        # per run — a tiny fraction of sample bytes; MEMORY_AND_DISK
+        # spills instead of OOM at scale.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    runs = all_runs.filter(F.col("_zrun") == 1)
 
     # Stage 2: interior runs never cross a bucket edge — emit directly.
     interior = runs.filter(~F.col("_open_start") & ~F.col("_open_end")).select(
@@ -127,11 +135,12 @@ def stationary_intervals(
     # means an intervening day whose samples were all moving (or whose
     # boundary runs were interior-only — impossible: a run containing
     # the bucket's first/last sample is by definition open), so the
-    # chain must break there.
+    # chain must break there. Every data-bearing bucket owns at least
+    # one run, so the bucket list is a distinct over the persisted run
+    # table — no second pass over raw samples.
     bucket_seq = (
-        df.select(key, bkt.alias("_bkt"))
-        .groupBy(key, "_bkt")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        all_runs.select(key, "_bkt")
+        .distinct()
         .withColumn(
             "_seq", F.row_number().over(Window.partitionBy(key).orderBy("_bkt"))
         )
