@@ -14,6 +14,7 @@ S3 key listing, its "file stats" the hour encoded in the key name.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -94,6 +95,41 @@ def _build_table(spark: SparkSession, sf_dir: str) -> tuple[LakehouseTable, str,
     return tbl, root, _key_cut(spark, sf_dir)
 
 
+def _standard_merge(tbl: LakehouseTable, spark: SparkSession, sf_dir: str, cut: int):
+    tbl.merge(
+        _batch_df(spark, sf_dir, cut),
+        keys=["k"],
+        update_cols=["o_totalprice", "o_orderstatus"],
+        delete_condition=F.col("o_custkey") % 7 == 0,
+    )
+
+
+_SHARED_MERGED: dict[str, tuple[LakehouseTable, str, int]] = {}
+
+
+def _shared_merged_table(
+    spark: SparkSession, sf_dir: str
+) -> tuple[LakehouseTable, str, int]:
+    """Process-shared READ-ONLY fixture (VERDICT r06 next-step 7):
+    v1 = the 16-file range-clustered base, v2 = the standard merge.
+    Queries that only READ committed snapshots (time travel j7, file
+    skipping j8, snapshot diff j15) share one build instead of each
+    paying create + merge + rm-rf per run; mutation queries
+    (j6, j9-j14, j16, j17) keep private builds. The dir lives until
+    process exit, so the returned DataFrames stay lazy — no
+    localCheckpoint materialization either."""
+    got = _SHARED_MERGED.get(sf_dir)
+    if got is not None and os.path.isdir(got[1]):
+        return got
+    import atexit
+
+    tbl, root, cut = _build_table(spark, sf_dir)
+    _standard_merge(tbl, spark, sf_dir, cut)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    _SHARED_MERGED[sf_dir] = (tbl, root, cut)
+    return tbl, root, cut
+
+
 def _final_select(df: DataFrame) -> DataFrame:
     return df.select(
         "k",
@@ -171,17 +207,8 @@ def j7_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/lakehouse.py:_commit, atomic rename). The oracle is the
     base table itself: time travel must be byte-faithful, not
     approximate."""
-    tbl, root, cut = _build_table(spark, sf_dir)
-    try:
-        tbl.merge(
-            _batch_df(spark, sf_dir, cut),
-            keys=["k"],
-            update_cols=["o_totalprice", "o_orderstatus"],
-            delete_condition=F.col("o_custkey") % 7 == 0,
-        )
-        return _final_select(tbl.read(version=1)).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    tbl, _root, _cut = _shared_merged_table(spark, sf_dir)
+    return _final_select(tbl.read(version=1))
 
 
 @register(
@@ -205,18 +232,14 @@ def j8_lakehouse_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     on top, exactly like Iceberg manifest pruning feeding parquet
     row-group pushdown. The aggregate proves the pruned scan loses no
     rows vs the oracle's full-table filter."""
-    tbl, root, cut = _build_table(spark, sf_dir)
-    try:
-        pruned = tbl.scan({"k": (1, cut)}).filter(F.col("k").between(1, cut))
-        out = pruned.groupBy("o_orderstatus").agg(
-            F.count("*").alias("n"),
-            round6(
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
-            ).alias("total_r"),
-        )
-        return out.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    tbl, _root, cut = _shared_merged_table(spark, sf_dir)
+    pruned = tbl.scan({"k": (1, cut)}, version=1).filter(F.col("k").between(1, cut))
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        round6(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        ).alias("total_r"),
+    )
 
 
 # ---------------------------------------------------------------------------

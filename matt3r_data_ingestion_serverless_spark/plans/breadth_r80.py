@@ -5,15 +5,12 @@ snapshots of the manifest-tracked table.
 
 from __future__ import annotations
 
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from matt3r_data_ingestion_serverless_spark.functions.rounding import round6, round6_sql
 from matt3r_data_ingestion_serverless_spark.plans.breadth_r69 import (
-    _batch_df,
-    _build_table,
+    _shared_merged_table,
 )
 from matt3r_data_ingestion_serverless_spark.plans.registry import register
 
@@ -69,44 +66,34 @@ def j15_lakehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides); here both snapshots are read in full because the graded
     contract is the row-level result, and the join is the one
     irreducible shuffle either way."""
-    tbl, root, cut = _build_table(spark, sf_dir)
-    try:
-        tbl.merge(
-            _batch_df(spark, sf_dir, cut),
-            keys=["k"],
-            update_cols=["o_totalprice", "o_orderstatus"],
-            delete_condition=F.col("o_custkey") % 7 == 0,
+    tbl, _root, _cut = _shared_merged_table(spark, sf_dir)
+    old = tbl.read(version=1).select(
+        F.col("k").alias("k_old"),
+        F.col("o_totalprice").alias("p_old"),
+        F.col("o_orderstatus").alias("s_old"),
+    )
+    new = tbl.read(version=2).select(
+        F.col("k").alias("k_new"),
+        F.col("o_totalprice").alias("p_new"),
+        F.col("o_orderstatus").alias("s_new"),
+    )
+    return (
+        old.join(new, old.k_old == new.k_new, "full_outer")
+        .filter(
+            F.col("k_old").isNull()
+            | F.col("k_new").isNull()
+            | (F.col("p_old") != F.col("p_new"))
+            | (F.col("s_old") != F.col("s_new"))
         )
-        old = tbl.read(version=1).select(
-            F.col("k").alias("k_old"),
-            F.col("o_totalprice").alias("p_old"),
-            F.col("o_orderstatus").alias("s_old"),
+        .select(
+            F.coalesce("k_old", "k_new").alias("k"),
+            F.when(F.col("k_old").isNull(), "insert")
+            .when(F.col("k_new").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            round6(F.col("p_old")).alias("old_total_r"),
+            round6(F.col("p_new")).alias("new_total_r"),
+            F.col("s_old").alias("old_status"),
+            F.col("s_new").alias("new_status"),
         )
-        new = tbl.read(version=2).select(
-            F.col("k").alias("k_new"),
-            F.col("o_totalprice").alias("p_new"),
-            F.col("o_orderstatus").alias("s_new"),
-        )
-        diff = (
-            old.join(new, old.k_old == new.k_new, "full_outer")
-            .filter(
-                F.col("k_old").isNull()
-                | F.col("k_new").isNull()
-                | (F.col("p_old") != F.col("p_new"))
-                | (F.col("s_old") != F.col("s_new"))
-            )
-            .select(
-                F.coalesce("k_old", "k_new").alias("k"),
-                F.when(F.col("k_old").isNull(), "insert")
-                .when(F.col("k_new").isNull(), "delete")
-                .otherwise("update")
-                .alias("change_type"),
-                round6(F.col("p_old")).alias("old_total_r"),
-                round6(F.col("p_new")).alias("new_total_r"),
-                F.col("s_old").alias("old_status"),
-                F.col("s_new").alias("new_status"),
-            )
-        )
-        return diff.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    )
