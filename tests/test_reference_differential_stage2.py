@@ -629,3 +629,191 @@ def test_s2_chained_binary_to_intervals_and_events(ref_stat, ref_ap, spark):
         "engagement": ((BASE + 12) * 1_000_000, 3.0),
         "disengagement": ((BASE + 25) * 1_000_000, 2.0),
     }
+
+
+# -- property-based: the quirk model is exact over random series ---------------
+
+
+def _ref_twin(entries: list[dict]) -> list[tuple[float, float]]:
+    """Pure-Python transliteration of the reference's scan loop
+    (infer_stationary_states.py:81-106), used to prove our MODEL of the
+    reference is exact: the real lambda must agree with this twin on
+    every generated series."""
+    speeds = [e["value"] for e in entries]
+    times = [e["timestamp"] for e in entries]
+    start_index = speeds.index(0)
+    end_index = len(speeds) - 1
+    start = times[start_index]
+    out = []
+    for i in range(start_index + 1, end_index):
+        cur_t, cur, pre, nxt = times[i], speeds[i], speeds[i - 1], speeds[i + 1]
+        if cur == 0 and pre != 0:
+            start = cur_t
+        elif cur == 0 and (cur_t - start) <= 12:
+            continue
+        elif cur == 0 and (cur_t - start) >= 13:
+            if nxt != 0:
+                out.append((start + 3, cur_t - 3))
+            elif nxt == 0 and i == end_index - 1:
+                out.append((start + 3, cur_t - 3))
+    return out
+
+
+def _our_twin(entries: list[dict]) -> list[tuple[float, float]]:
+    """Our operator's semantics in pure Python: maximal zero-runs with
+    duration >= 13 s emit [first+3, last-3] (stationary_intervals'
+    contract, which tests/test_temporal_props.py pins against the Spark
+    plan)."""
+    out = []
+    run_start = None
+    prev_t = None
+    for e in entries + [{"timestamp": None, "value": 1.0}]:
+        if e["value"] == 0:
+            if run_start is None:
+                run_start = e["timestamp"]
+            prev_t = e["timestamp"]
+        else:
+            if run_start is not None and prev_t - run_start >= 13:
+                out.append((run_start + 3, prev_t - 3))
+            run_start = None
+    return out
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+
+    _series = st.lists(
+        st.tuples(
+            st.sampled_from([0.5, 1.0, 2.0, 5.0, 6.5, 13.0]),  # dt
+            st.sampled_from([0, 0, 0, 3.0, 8.0]),  # speed (zero-biased)
+        ),
+        min_size=3,
+        max_size=40,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(_series)
+    def test_s2_property_quirk_model_is_exact(ref_stat, steps):
+        """For ANY series: (a) the real reference lambda equals the
+        transliterated twin — our reading of its control flow is exact;
+        (b) our semantics differ from the reference ONLY by the
+        documented quirks: an EOF-reaching run is truncated to the
+        penultimate sample (or dropped entirely when only the final
+        sample pushes it over 13 s); every non-EOF interval matches
+        exactly."""
+        t = BASE
+        entries = []
+        for dt, v in steps:
+            entries.append({"timestamp": t, "value": v})
+            t += dt
+        speeds = [e["value"] for e in entries]
+        if 0 not in speeds:
+            with pytest.raises(ValueError):
+                _run_ref(ref_stat, {"speed": entries})
+            assert _our_twin(entries) == []
+            return
+        ref = _ref_intervals(_run_ref(ref_stat, {"speed": entries}))
+        twin = sorted(
+            (int(round(s * 1e6)), int(round(e * 1e6))) for s, e in _ref_twin(entries)
+        )
+        assert ref == twin  # (a) the model is exact
+        ours = sorted(
+            (int(round(s * 1e6)), int(round(e * 1e6))) for s, e in _our_twin(entries)
+        )
+        # (b) quirk envelope
+        eof_us = int(round(entries[-1]["timestamp"] * 1e6))
+        ref_set = set(ref)
+        for iv in ours:
+            if iv in ref_set:
+                ref_set.discard(iv)
+                continue
+            # must be the EOF run: ends exactly at last_sample - 3 s
+            assert iv[1] == eof_us - 3_000_000, (iv, ref, ours)
+            # reference either truncated it by >= one sample or dropped it
+            shorter = [r for r in ref if r[0] == iv[0] and r[1] < iv[1]]
+            assert len(shorter) <= 1
+            for r in shorter:
+                ref_set.discard(r)
+        assert not ref_set, f"reference emitted intervals we never do: {ref_set}"
+
+
+def _ref_twin_ap(entries: list[dict]) -> dict[str, tuple[float, float]]:
+    """Transliteration of infer_autopilot_states.py:78-95: the scan
+    emits engagement (cur == 3, prev <= 2) / disengagement (cur <= 2,
+    prev == 3) events, then the dict serialization keeps only the LAST
+    event per status."""
+    code = {"DISABLED": 0, "UNAVAILABLE": 1, "AVAILABLE": 2, "ACTIVE_NOMINAL": 3,
+            "ACTIVE_RESTRICTED": 4, "ACTIVE_NAV": 5, "ABORTING": 8, "ABORTED": 9}
+    vals = [code[e["value"]] for e in entries]
+    out: dict[str, tuple[float, float]] = {}
+    for i in range(1, len(vals)):
+        if vals[i] == 3 and vals[i - 1] <= 2:
+            out["engagement"] = (entries[i]["timestamp"], float(vals[i]))
+        elif vals[i] <= 2 and vals[i - 1] == 3:
+            out["disengagement"] = (entries[i]["timestamp"], float(vals[i]))
+    return out
+
+
+def _our_twin_ap(entries: list[dict]) -> list[tuple[float, str, float]]:
+    """ap_transitions' semantics in pure Python: ALL transition events,
+    not just the last per status."""
+    code = {"DISABLED": 0, "UNAVAILABLE": 1, "AVAILABLE": 2, "ACTIVE_NOMINAL": 3,
+            "ACTIVE_RESTRICTED": 4, "ACTIVE_NAV": 5, "ABORTING": 8, "ABORTED": 9}
+    vals = [code[e["value"]] for e in entries]
+    out = []
+    for i in range(1, len(vals)):
+        if vals[i] == 3 and vals[i - 1] <= 2:
+            out.append((entries[i]["timestamp"], "engagement", float(vals[i])))
+        elif vals[i] <= 2 and vals[i - 1] == 3:
+            out.append((entries[i]["timestamp"], "disengagement", float(vals[i])))
+    return out
+
+
+if _HAS_HYPOTHESIS:
+
+    _ap_series = st.lists(
+        st.sampled_from(
+            ["DISABLED", "UNAVAILABLE", "AVAILABLE", "ACTIVE_NOMINAL",
+             "ACTIVE_NOMINAL", "ACTIVE_RESTRICTED", "ACTIVE_NAV",
+             "ABORTING", "ABORTED"]
+        ),
+        min_size=2,
+        max_size=30,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(_ap_series)
+    def test_s2_property_ap_quirk_model_is_exact(ref_ap, states):
+        """For ANY known-state series: the real autopilot lambda equals
+        the transliterated twin, and the reference's output is exactly
+        our per-status LAST event (the dict.update quirk) — no other
+        divergence exists."""
+        entries = [
+            {"timestamp": BASE + 10.0 * i, "value": s}
+            for i, s in enumerate(states)
+        ]
+        ours = _our_twin_ap(entries)
+        twin = _ref_twin_ap(entries)
+        if not ours:
+            # no transitions → autopilot_df stays empty → the reference
+            # writes nothing (the `if not autopilot_df.empty` guard)
+            assert twin == {}
+            puts = _run_ref(ref_ap, {"ap_status": entries})
+            assert puts == {}
+            return
+        ref = _ref_events(_run_ref(ref_ap, {"ap_status": entries}))
+        assert ref == {
+            k: (int(round(t * 1e6)), v) for k, (t, v) in twin.items()
+        }
+        last: dict[str, tuple[int, float]] = {}
+        for t, status, v in ours:
+            last[status] = (int(round(t * 1e6)), v)
+        assert ref == last
