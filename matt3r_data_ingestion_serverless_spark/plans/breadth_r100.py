@@ -68,3 +68,136 @@ def mm_mixed_format_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     return mixed_image_features(docs)
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering: multi-dimensional file skipping from 1-D stats
+# ---------------------------------------------------------------------------
+
+_ZORDER_BITS = 8  # 256x256 z-grid; z in [0, 65536)
+_ZORDER_FILES = 16
+
+_J18_SQL = """
+WITH r AS (
+  SELECT min(o_orderkey) AS lo1, max(o_orderkey) AS hi1,
+         min(o_custkey)  AS lo2, max(o_custkey)  AS hi2
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_k1,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+FROM orders, r
+WHERE o_orderkey <= r.lo1 + (r.hi1 - r.lo1) // 8
+  AND o_custkey  <= r.lo2 + (r.hi2 - r.lo2) // 8
+GROUP BY o_orderstatus
+"""
+
+_ZORDER_TABLES: dict[str, tuple] = {}
+
+
+def _key_range(sf_dir: str, col: str) -> tuple[int, int]:
+    """Exact int64 [min, max] from the orders parquet FOOTER — zero
+    Spark jobs (same stats discipline as breadth_r69._key_cut)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata
+    idx = next(
+        i for i in range(meta.num_columns) if meta.schema.column(i).name == col
+    )
+    stats = [meta.row_group(rg).column(idx).statistics for rg in range(meta.num_row_groups)]
+    return int(min(s.min for s in stats)), int(max(s.max for s in stats))
+
+
+def _zorder_table(spark: SparkSession, sf_dir: str):
+    """Process-shared z-clustered orders table: files are key-range
+    buckets of z = morton(o_orderkey, o_custkey), so every file's
+    manifest stats bound BOTH keys to a rectangle."""
+    got = _ZORDER_TABLES.get(sf_dir)
+    if got is not None:
+        import os
+
+        if os.path.isdir(got[1]):
+            return got
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from matt3r_data_ingestion_serverless_spark.functions.zorder import zorder2_scaled
+    from matt3r_data_ingestion_serverless_spark.operators.lakehouse import (
+        LakehouseTable,
+    )
+
+    lo1, hi1 = _key_range(sf_dir, "o_orderkey")
+    lo2, hi2 = _key_range(sf_dir, "o_custkey")
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .withColumn(
+            "z",
+            zorder2_scaled(
+                F.col("o_orderkey"), lo1, hi1,
+                F.col("o_custkey"), lo2, hi2,
+                _ZORDER_BITS,
+            ),
+        )
+    )
+    zmax = 1 << (2 * _ZORDER_BITS)
+    boundaries = [zmax * i // _ZORDER_FILES for i in range(1, _ZORDER_FILES)]
+    root = tempfile.mkdtemp(prefix="zorder_")
+    tbl = LakehouseTable.create_bucketed(
+        df,
+        root,
+        key="z",
+        boundaries=boundaries,
+        stats_cols=["z", "o_orderkey", "o_custkey"],
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    box = (
+        (lo1, lo1 + (hi1 - lo1) // 8),
+        (lo2, lo2 + (hi2 - lo2) // 8),
+    )
+    _ZORDER_TABLES[sf_dir] = (tbl, root, box)
+    return _ZORDER_TABLES[sf_dir]
+
+
+@register("j18_lakehouse_zorder_skipping", _J18_SQL)
+def j18_lakehouse_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional file skipping via Z-ORDER clustering
+    (functions/zorder.py + operators/lakehouse.py — Delta's OPTIMIZE
+    ZORDER BY in manifest-table form): orders is written as key-range
+    buckets of the Morton code of (o_orderkey, o_custkey), so each
+    file's plain per-column min/max stats bound a RECTANGLE in key
+    space, and a 2-D box predicate prunes files on BOTH columns —
+    range-clustering on one key alone would scan every file for any
+    second-key predicate. The graded rows are the bounded scan + exact
+    row filter, matched against the oracle's full-table filter; the
+    pruning ratio itself is pinned in tests/test_breadth_r100.py
+    (box of 1/64 of the key plane → a strict minority of the 16 files
+    opened).
+
+    Scale: the z-value is five shift-or-mask ops per key inside
+    whole-stage codegen (no UDF); the write is the one-job exact-slot
+    bucketed writer; the scan is manifest-stat pruning — at 100 TB the
+    2-D box reads O(box-overlapping z-tiles), not O(table)."""
+    from pyspark.sql import functions as F
+
+    tbl, _root, box = _zorder_table(spark, sf_dir)
+    (k1lo, k1hi), (k2lo, k2hi) = box
+    pruned = tbl.scan({"o_orderkey": (k1lo, k1hi), "o_custkey": (k2lo, k2hi)})
+    return (
+        pruned.filter(
+            F.col("o_orderkey").between(k1lo, k1hi)
+            & F.col("o_custkey").between(k2lo, k2hi)
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("sum_k1"),
+            F.count_distinct("o_custkey").cast("long").alias("n_cust"),
+        )
+    )

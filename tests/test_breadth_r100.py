@@ -80,3 +80,85 @@ def test_mixed_format_decode_oracle_parity(spark):
     con = duckdb_con(SF_SMOKE)
     problems = compare(mm_mixed_format_decode(spark, SF_SMOKE), con, _MIXED_SQL)
     assert problems == []
+
+
+# -- z-order clustering -------------------------------------------------------
+
+
+def test_zorder2_matches_python_twin(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from matt3r_data_ingestion_serverless_spark.functions.zorder import (
+        zorder2,
+        zorder2_py,
+    )
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+    rows += [(0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 2)]
+    df = spark.createDataFrame(rows, "a long, b long").withColumn(
+        "z", zorder2(F.col("a"), F.col("b"))
+    )
+    for r in df.collect():
+        assert r.z == zorder2_py(r.a, r.b), (r.a, r.b)
+
+
+def test_zorder_scan_prunes_both_dimensions(spark):
+    """The point of z-clustering: a predicate on EITHER key prunes
+    files from the same one-column manifest stats — a 1-D range layout
+    prunes only its own key."""
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r100 import (
+        _ZORDER_FILES,
+        _zorder_table,
+    )
+
+    tbl, _root, box = _zorder_table(spark, SF_SMOKE)
+    (k1lo, k1hi), (k2lo, k2hi) = box
+    total = len(tbl.manifest()["file_list"])
+    assert total == _ZORDER_FILES
+    # 2-D box of 1/64 of the plane: strict minority of files opened
+    read_2d, _ = tbl.files_scanned({"o_orderkey": (k1lo, k1hi), "o_custkey": (k2lo, k2hi)})
+    assert read_2d < total / 2, (read_2d, total)
+    # each 1-D predicate alone also prunes (the z-curve bounds BOTH)
+    read_k1, _ = tbl.files_scanned({"o_orderkey": (k1lo, k1hi)})
+    read_k2, _ = tbl.files_scanned({"o_custkey": (k2lo, k2hi)})
+    assert read_k1 < total, read_k1
+    assert read_k2 < total, read_k2
+    assert read_2d <= min(read_k1, read_k2)
+
+
+def test_zorder_scan_loses_no_rows(spark):
+    from pyspark.sql import functions as F
+
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r100 import (
+        _zorder_table,
+        j18_lakehouse_zorder_skipping,
+    )
+
+    tbl, _root, box = _zorder_table(spark, SF_SMOKE)
+    (k1lo, k1hi), (k2lo, k2hi) = box
+    expect = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(
+            F.col("o_orderkey").between(k1lo, k1hi)
+            & F.col("o_custkey").between(k2lo, k2hi)
+        )
+        .count()
+    )
+    got = j18_lakehouse_zorder_skipping(spark, SF_SMOKE).agg(F.sum("n")).first()[0]
+    assert got == expect and expect > 0
+
+
+def test_zorder_oracle_parity(spark):
+    from tests.oracle_harness import compare, duckdb_con
+
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r100 import (
+        _J18_SQL,
+        j18_lakehouse_zorder_skipping,
+    )
+
+    con = duckdb_con(SF_SMOKE)
+    problems = compare(j18_lakehouse_zorder_skipping(spark, SF_SMOKE), con, _J18_SQL)
+    assert problems == []
