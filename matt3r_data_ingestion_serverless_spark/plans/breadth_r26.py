@@ -297,7 +297,9 @@ WITH r AS (
 s AS (
   SELECT flag, count(*) AS n,
          sum(rx) AS sx, sum(ry) AS sy,
-         sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+         sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+         sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+         sum(CAST(ry AS HUGEINT) * ry) AS syy
   FROM r GROUP BY flag
 )
 SELECT flag, CAST(n AS BIGINT) AS n,
@@ -320,7 +322,13 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     final closed form touches doubles — identical operands, identical
     op order, so the result is bit-stable across engines. Two window
     ranks + one aggregate over the same flag partitioning = one
-    Exchange."""
+    Exchange.
+
+    The second-moment sums are bounded by n·(2n)² — ~1e20 at sf1's 6M
+    lineitem rows, past int64 — so the products accumulate as exact
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); rank sums themselves stay
+    int64 (≤ n·2n ≈ 4e13). Caught by the r07 sf1 sweep: the long-sum
+    version threw ARITHMETIC_OVERFLOW at 10x rows."""
     li = load_table(spark, sf_dir, "lineitem")
 
     def avg_rank2(col: str) -> F.Column:
@@ -335,13 +343,15 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_rank2("l_quantity").alias("rx"),
         avg_rank2("l_extendedprice").alias("ry"),
     )
+    rxd = F.col("rx").cast("decimal(38,0)")
+    ryd = F.col("ry").cast("decimal(38,0)")
     s = r.groupBy("flag").agg(
         F.count("*").alias("n"),
         F.sum("rx").alias("sx"),
         F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(rxd * ryd).alias("sxy"),
+        F.sum(rxd * rxd).alias("sxx"),
+        F.sum(ryd * ryd).alias("syy"),
     )
     n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx, syy = (

@@ -74,9 +74,16 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master("local[16]")
         .appName("sf1-sweep")
         .config("spark.driver.memory", "24g")
+        # sized for the 10x fixtures: the plain-session default of 200
+        # shuffle partitions turns the iterative queries (DBSCAN /
+        # component labeling) into hundreds of 200-task rounds on a
+        # small core count; AQE coalescing + 32 matches bench.py's
+        # sizing discipline (SCALE.md §15)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
