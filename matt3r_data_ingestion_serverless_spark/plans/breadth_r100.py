@@ -201,3 +201,44 @@ def j18_lakehouse_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count_distinct("o_custkey").cast("long").alias("n_cust"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# metadata-only aggregation: count/min/max answered from the manifest
+# ---------------------------------------------------------------------------
+
+_J19_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(o_orderkey) AS BIGINT) AS min_k,
+       CAST(max(o_orderkey) AS BIGINT) AS max_k
+FROM orders
+WHERE o_orderkey % 4 <> 3
+"""
+
+
+@register("j19_metadata_only_agg", _J19_SQL)
+def j19_metadata_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation (Iceberg's scan-less COUNT/MIN/MAX,
+    Delta's stats-backed ANSWER FROM METADATA): count(*), min(key),
+    max(key) over the lakehouse snapshot are read from the MANIFEST —
+    per-file row counts summed, per-file [lo, hi] stats folded — with
+    ZERO data files opened and zero Spark jobs. At 100 TB this is the
+    difference between a millisecond catalog lookup and a full-table
+    scan; correctness holds because the same commit protocol that
+    publishes the files publishes their exact stats (the collision
+    guard in _write_bucketed_files falls back to the per-file harvest
+    precisely so manifest stats NEVER disagree with the bytes on disk).
+    The oracle recomputes the aggregates by scanning the raw table."""
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r69 import (
+        _shared_merged_table,
+    )
+
+    tbl, _root, _cut = _shared_merged_table(spark, sf_dir)
+    man = tbl.manifest(1)  # v1 = the base snapshot (orders, %4 <> 3)
+    entries = man["file_list"]
+    n_rows = sum(e["rows"] for e in entries)
+    lo = min(e["stats"]["k"][0] for e in entries)
+    hi = max(e["stats"]["k"][1] for e in entries)
+    return spark.createDataFrame(
+        [(n_rows, int(lo), int(hi))], "n_rows long, min_k long, max_k long"
+    )

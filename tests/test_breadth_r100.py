@@ -162,3 +162,37 @@ def test_zorder_oracle_parity(spark):
     con = duckdb_con(SF_SMOKE)
     problems = compare(j18_lakehouse_zorder_skipping(spark, SF_SMOKE), con, _J18_SQL)
     assert problems == []
+
+
+# -- metadata-only aggregation -------------------------------------------------
+
+
+def test_metadata_only_agg_opens_no_data_files(spark):
+    """The whole point: the aggregate is answered from the manifest.
+    Boobytrap the snapshot read — the query must never call it."""
+    from matt3r_data_ingestion_serverless_spark.operators.lakehouse import (
+        LakehouseTable,
+    )
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r100 import (
+        j19_metadata_only_agg,
+    )
+
+    orig = LakehouseTable.read
+    LakehouseTable.read = None  # any data read -> TypeError
+    try:
+        row = j19_metadata_only_agg(spark, SF_SMOKE).first()
+    finally:
+        LakehouseTable.read = orig
+    assert row.n_rows > 0 and row.min_k <= row.max_k
+
+
+def test_metadata_only_agg_oracle_parity(spark):
+    from tests.oracle_harness import compare, duckdb_con
+
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r100 import (
+        _J19_SQL,
+        j19_metadata_only_agg,
+    )
+
+    con = duckdb_con(SF_SMOKE)
+    assert compare(j19_metadata_only_agg(spark, SF_SMOKE), con, _J19_SQL) == []
