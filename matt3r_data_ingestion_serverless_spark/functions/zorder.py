@@ -46,16 +46,31 @@ def zorder2(a: Column, b: Column, bits: int = 16) -> Column:
     return F.shiftleft(_spread16(am), 1).bitwiseOR(_spread16(bm))
 
 
+def _scale_exact(x: Column, lo: int, hi: int, n: int) -> Column:
+    """floor((x - lo) * n / (hi - lo)) with EXACT integer arithmetic.
+
+    Spark's ``/`` is double division, whose 53-bit mantissa misplaces
+    rows near bucket edges once (x - lo) * n needs > 2^53 — i.e. key
+    spans above ~2^37 for 16-bit buckets. Instead compute in
+    decimal(38,0): subtract the remainder (pmod) so the numerator is an
+    exact multiple of the span, making the quotient an exact integer —
+    correct for any key span a long can hold.
+    """
+    span = max(hi - lo, 1)
+    qn = (x.cast("decimal(38,0)") - F.lit(lo)) * F.lit(n)
+    return ((qn - F.pmod(qn, F.lit(span))) / F.lit(span)).cast("long")
+
+
 def zorder2_scaled(
     a: Column, a_lo: int, a_hi: int, b: Column, b_lo: int, b_hi: int, bits: int = 16
 ) -> Column:
     """zorder2 over raw key ranges: affine-scale each key into
-    [0, 2**bits) first (integer arithmetic — (x - lo) * (2^bits - 1)
-    / (hi - lo), exact in longs for key spans < 2^47)."""
+    [0, 2**bits) via exact decimal integer division (see
+    ``_scale_exact`` — no double rounding, any long key span)."""
     n = (1 << bits) - 1
-    sa = ((a.cast("long") - F.lit(a_lo)) * F.lit(n)) / F.lit(max(a_hi - a_lo, 1))
-    sb = ((b.cast("long") - F.lit(b_lo)) * F.lit(n)) / F.lit(max(b_hi - b_lo, 1))
-    return zorder2(F.floor(sa).cast("long"), F.floor(sb).cast("long"), bits)
+    sa = _scale_exact(a, a_lo, a_hi, n)
+    sb = _scale_exact(b, b_lo, b_hi, n)
+    return zorder2(sa, sb, bits)
 
 
 def zorder2_py(a: int, b: int, bits: int = 16) -> int:

@@ -596,10 +596,13 @@ class LakehouseTable:
             man,
         )
 
-    def files_scanned(self, bounds: dict[str, tuple]) -> tuple[int, int]:
+    def files_scanned(
+        self, bounds: dict[str, tuple], version: int | None = None
+    ) -> tuple[int, int]:
         """(files read, files total) for a bounded scan — the pruning
-        ratio tests/SCALE.md cite."""
-        man = self.manifest()
+        ratio tests/SCALE.md cite. ``version`` mirrors :meth:`scan` so
+        the probe agrees with a version-pinned scan."""
+        man = self.manifest(version)
         hit, _ = self._split_by_range(man, bounds)
         return len(hit), man["files"]
 
@@ -779,9 +782,13 @@ class LakehouseTable:
         are found by pure interval overlap — ZERO Spark jobs — instead
         of the batch-scan agg. The cover must be COMPLETE: every source
         row's first key must lie inside some interval, or an untouched
-        file could retain a stale copy of a merged key. Intervals only
-        prune on keys[0]; extra stat keys are skipped (conservative —
-        more files touched, never fewer)."""
+        file could retain a stale copy of a merged key. In particular
+        NULL keys void the contract (parquet footer min/max exclude
+        nulls) — callers must fall back to the scan path when the
+        source may hold null keys (see breadth_r6._batch_intervals's
+        null_count guard). Intervals only prune on keys[0]; extra stat
+        keys are skipped (conservative — more files touched, never
+        fewer)."""
         entries = man["file_list"]
         if source_intervals is not None:
             k0 = keys[0]

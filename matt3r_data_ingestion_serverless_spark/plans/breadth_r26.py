@@ -317,12 +317,12 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation of quantity vs extended price per
     return flag — the robust (monotone, outlier-proof) dependence
     measure. Ties take AVERAGE ranks, doubled so they stay integers
-    (2·rank + tiecount − 1); all five moment sums accumulate as exact
-    int64 (n·(2n)² bounds them well under 2^63 at sf0.1), and only the
-    final closed form touches doubles — identical operands, identical
-    op order, so the result is bit-stable across engines. Two window
-    ranks + one aggregate over the same flag partitioning = one
-    Exchange.
+    (2·rank + tiecount − 1); rank sums stay exact int64 while the
+    second-moment sums accumulate as exact DECIMAL(38,0)/HUGEINT, and
+    only the final closed form touches doubles — identical operands,
+    identical op order, so the result is bit-stable across engines.
+    Two window ranks + one aggregate over the same flag partitioning =
+    one Exchange.
 
     The second-moment sums are bounded by n·(2n)² — ~1e20 at sf1's 6M
     lineitem rows, past int64 — so the products accumulate as exact

@@ -153,6 +153,36 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cdc_apply(log)
 
 
+def _footer_key_intervals(bdf: DataFrame, key: str) -> list[tuple] | None:
+    """Key covers of a file-source micro-batch straight from its parquet
+    FOOTERS (driver-side, zero Spark jobs): the file-source batch IS its
+    files, so per-row-group ``key`` min/max is a complete cover —
+    merge()'s touched-file pass then needs no batch-scan agg job. Falls
+    back to the scan path (returns None) if any footer lacks stats OR
+    reports null keys — parquet min/max exclude nulls, so a null-key
+    source row would be covered by no interval and a stale null-key row
+    in an 'untouched' file would silently survive the merge (groupBy
+    treats nulls as equal)."""
+    from urllib.parse import urlparse
+
+    import pyarrow.parquet as pq
+
+    ivs: list[tuple] = []
+    for uri in bdf.inputFiles():
+        meta = pq.ParquetFile(urlparse(uri).path).metadata
+        idx = next(
+            i for i in range(meta.num_columns) if meta.schema.column(i).name == key
+        )
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or st.min is None or st.max is None:
+                return None
+            if st.null_count is None or st.null_count > 0:
+                return None
+            ivs.append((st.min, st.max))
+    return ivs or None
+
+
 @register("cdc_streamed_apply", _cdc_apply_sql("TRUE"))
 def cdc_streamed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC apply as a STREAMING sink, graded in the oracle gate
@@ -224,32 +254,6 @@ def cdc_streamed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries = [lo + (hi - lo) * i // 4 for i in (1, 2, 3)]
     holder: list[LakehouseTable] = []
 
-    def _batch_intervals(bdf: DataFrame) -> list[tuple] | None:
-        """Key covers of the micro-batch straight from its parquet
-        FOOTERS (driver-side, zero Spark jobs): the file-source batch
-        IS its files, so per-row-group o_orderkey min/max is a complete
-        cover — merge()'s touched-file pass then needs no batch-scan
-        agg job. Falls back to the scan path if any footer lacks
-        stats."""
-        from urllib.parse import urlparse
-
-        import pyarrow.parquet as pq
-
-        ivs: list[tuple] = []
-        for uri in bdf.inputFiles():
-            meta = pq.ParquetFile(urlparse(uri).path).metadata
-            idx = next(
-                i
-                for i in range(meta.num_columns)
-                if meta.schema.column(i).name == "o_orderkey"
-            )
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(idx).statistics
-                if st is None or st.min is None or st.max is None:
-                    return None
-                ivs.append((st.min, st.max))
-        return ivs or None
-
     def apply_batch(bdf: DataFrame, bid: int) -> None:
         if not holder:
             holder.append(
@@ -268,7 +272,7 @@ def cdc_streamed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bdf,
                 ["o_orderkey"],
                 version_col="seq",
-                source_intervals=_batch_intervals(bdf),
+                source_intervals=_footer_key_intervals(bdf, "o_orderkey"),
             )
 
     src = (

@@ -65,9 +65,21 @@ sup AS (
   JOIN b1 y ON y.item = c.ib AND y.user_id = x.user_id AND y.day = x.day
   JOIN b1 z ON z.item = c.ic AND z.user_id = x.user_id AND z.day = x.day
   GROUP BY 1, 2, 3
+),
+-- scale-aware threshold (r08): the 1% bar when it reports anything,
+-- else the top-10 support cut — the support distribution concentrates
+-- near its mean as baskets grow, so a fixed relative bar can starve at
+-- 10x rows while top-k stays non-vacuous at every SF
+thr AS (
+  SELECT CASE WHEN max(support) >= (SELECT m FROM minsup)
+              THEN (SELECT m FROM minsup)
+              ELSE (SELECT min(support)
+                    FROM (SELECT support FROM sup ORDER BY support DESC LIMIT 10))
+         END AS t
+  FROM sup
 )
 SELECT ia, ib, ic, support FROM sup
-WHERE support >= (SELECT m FROM minsup)
+WHERE support >= (SELECT t FROM thr)
 """
 
 
@@ -79,8 +91,15 @@ def basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     downward-closure PRUNE drops candidates with an infrequent face
     BEFORE any counting (the step that makes Apriori beat counting all
     C(10,3) triples), and one 3-way basket join counts support for the
-    survivors. Support is relative (1% of baskets) so the semantics
-    are SF-invariant.
+    survivors. Support is relative (1% of baskets), with a TOP-10
+    fallback when the 1% bar reports nothing (r08): triple-support
+    fractions concentrate toward their mean as baskets grow (the
+    max/mean ratio shrank from 1.03% of baskets at sf0.1 to 0.93% at
+    sf1's 400k baskets), so a fixed relative bar sitting in the noise
+    tail goes vacuous at 10x rows while top-k degrades gracefully —
+    the standard top-k frequent-itemset formulation. The fallback only
+    fires when the bar is empty, so sf0.01/sf0.1 results are
+    unchanged.
 
     Scale: baskets and singles are one distinct + groupBy; the pair
     join is basket-keyed (per-key width = items-per-basket, a
@@ -140,9 +159,28 @@ def basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(z, ["user_id", "day", "ic"])
         .groupBy("ia", "ib", "ic")
         .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= minsup)
+        .localCheckpoint(eager=True)
     )
-    return sup
+    # scale-aware threshold: the 1% bar if non-vacuous, else top-10 —
+    # two 1-row aggregates over the lattice-sized support table,
+    # broadcast back (no driver collect)
+    s10 = (
+        sup.orderBy(F.col("support").desc())
+        .limit(10)
+        .agg(F.min("support").alias("s10"))
+    )
+    thr = (
+        sup.agg(F.max("support").alias("mx"))
+        .crossJoin(s10)
+        .select(
+            F.when(F.col("mx") >= minsup, F.lit(minsup))
+            .otherwise(F.col("s10"))
+            .alias("t")
+        )
+    )
+    return sup.join(F.broadcast(thr), F.col("support") >= F.col("t")).select(
+        "ia", "ib", "ic", "support"
+    )
 
 
 # ---------------------------------------------------------------------------
