@@ -6,9 +6,11 @@ The reference pipeline has no multimodal surface; this is the
 training-data-pipeline extension. ``decode_image`` sniffs the
 container and dispatches to REAL stdlib-only decoders for PPM (header
 tokenizer + raw RGB24), PNG (chunk walk with CRC-32 verification, zlib
-inflate, scanline unfilter), and WAV (RIFF PCM16); only formats that
-truly need external codec libraries (JPEG/GIF/H.264 — no PIL/opencv/av
-in this container) raise ``NotImplementedError`` at that seam.
+inflate, scanline unfilter), baseline JPEG (marker walk, canonical
+Huffman, dequant, IDCT — operators/jpeg.py), and WAV (RIFF PCM16);
+only formats that truly need external codec libraries (GIF/H.264 — no
+PIL/opencv/av in this container) raise ``NotImplementedError`` at that
+seam.
 Everything Spark-side — binary schema, mapInPandas batch iteration,
 1→N frame expansion, typed ``array<double>`` feature output — is real
 and tested.
@@ -70,20 +72,25 @@ def sniff_format(data: bytes) -> str:
 
 def decode_image(data: bytes):
     """Real codec entry point: sniff the container and dispatch to the
-    stdlib-only decoders below (P6 PPM, PNG with filters 0-2). Formats
-    that genuinely require external libraries (JPEG/GIF/H.264) raise
-    NotImplementedError — wire PIL/av at this seam and keep the
-    (width, height, uint8 (h, w, 3)) return contract."""
+    stdlib-only decoders (P6 PPM, PNG with filters 0-2, baseline
+    sequential JPEG — operators/jpeg.py). Formats that genuinely
+    require external libraries (GIF's LZW variants in full generality,
+    H.264 video) raise NotImplementedError — wire PIL/av at this seam
+    and keep the (width, height, uint8 (h, w, 3)) return contract."""
     fmt = sniff_format(data)
     if fmt == "ppm":
         return decode_ppm(data)
     if fmt == "png":
         return decode_png(data)
+    if fmt == "jpeg":
+        from matt3r_data_ingestion_serverless_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
         f"decode_image: container {fmt!r} needs a codec library not "
-        "present in this environment (PIL/opencv/av); PPM and PNG are "
-        "decoded stdlib-only above — extend the dispatch here and keep "
-        "the (w, h, pixels) contract"
+        "present in this environment (PIL/opencv/av); PPM, PNG and "
+        "baseline JPEG are decoded stdlib-only above — extend the "
+        "dispatch here and keep the (w, h, pixels) contract"
     )
 
 
@@ -650,10 +657,35 @@ MIXED_SCHEMA = T.StructType(
 )
 
 
+def _jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """(width, height), multiples of 8 so every 8x8 block is fully
+    inside the image (the exact-round-trip precondition)."""
+    return 8 * (2 + doc_id % 3), 8 * (1 + doc_id % 2)
+
+
+def synth_jpeg(doc_id: int) -> bytes:
+    """Encode a deterministic grayscale image CONSTANT per 8x8 block —
+    block (by, bx) value = (id·13 + by·31 + bx·17) mod 256 — as a real
+    baseline JPEG with a unit quantization table. Constant blocks have
+    exactly one nonzero quantized coefficient (DC, exactly the integer
+    8·(v−128) after rounding; every AC quantizes to zero),
+    so the lossy codec is bit-exact on this corpus while the file still
+    exercises the full marker/Huffman/DC-prediction/stuffing machinery
+    (see operators/jpeg.py's module docstring)."""
+    import numpy as np
+
+    from matt3r_data_ingestion_serverless_spark.operators.jpeg import encode_jpeg
+
+    w, h = _jpeg_dims(doc_id)
+    by, bx = np.ogrid[0 : h // 8, 0 : w // 8]
+    blocks = ((doc_id * 13 + by * 31 + bx * 17) % 256).astype(np.uint8)
+    return encode_jpeg(np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1))
+
+
 def mixed_image_features(df: DataFrame) -> DataFrame:
     """(doc_id) → decoded-pixel aggregates of a MIXED-format corpus
-    through the :func:`decode_image` dispatcher: even doc_ids are
-    encoded as P6 PPM, odd as PNG, and every blob goes through
+    through the :func:`decode_image` dispatcher: doc_id % 3 routes to
+    P6 PPM / PNG / baseline JPEG, and every blob goes through
     sniff_format → decode_image with no per-row format hint — exactly
     what a real multimodal ingest faces when the object store holds
     heterogeneous containers. Same executor-side contract as the
@@ -670,7 +702,7 @@ def mixed_image_features(df: DataFrame) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"].astype("int64"):
                 d = int(doc_id)
-                blob = synth_ppm(d) if d % 2 == 0 else synth_png(d)
+                blob = (synth_ppm, synth_png, synth_jpeg)[d % 3](d)
                 fmt = sniff_format(blob)
                 w, h, px = decode_image(blob)
                 v = px.astype(np.int64)

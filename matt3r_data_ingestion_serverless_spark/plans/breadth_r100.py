@@ -17,9 +17,13 @@ from matt3r_data_ingestion_serverless_spark.sources.tables import load_table, sp
 _MIXED_SQL = """
 WITH d AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'png' END AS fmt,
-         CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 5 ELSE 9 + doc_id % 4 END AS w,
-         CASE WHEN doc_id % 2 = 0 THEN 6 + doc_id % 3 ELSE 5 + doc_id % 4 END AS h
+         CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' ELSE 'jpeg' END AS fmt,
+         CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 5
+                         WHEN 1 THEN 9 + doc_id % 4
+                         ELSE 8 * (2 + doc_id % 3) END AS w,
+         CASE doc_id % 3 WHEN 0 THEN 6 + doc_id % 3
+                         WHEN 1 THEN 5 + doc_id % 4
+                         ELSE 8 * (1 + doc_id % 2) END AS h
   FROM documents
 ),
 s AS (SELECT doc_id, fmt, w, h, unnest(range(0, w * h * 3)) AS i FROM d),
@@ -29,9 +33,12 @@ v AS (
 ),
 p AS (
   SELECT doc_id, fmt, i,  c,
-         CASE WHEN fmt = 'ppm'
+         CASE fmt WHEN 'ppm'
               THEN (doc_id * 7 + y * 13 + x * 5 + c * 29) % 256
-              ELSE (doc_id * 11 + y * 3 + x * 7 + c * 19) % 256
+              WHEN 'png'
+              THEN (doc_id * 11 + y * 3 + x * 7 + c * 19) % 256
+              -- jpeg: grayscale, constant per 8x8 block, channel-free
+              ELSE (doc_id * 13 + (y // 8) * 31 + (x // 8) * 17) % 256
          END AS pv
   FROM v
 )
@@ -50,13 +57,16 @@ FROM p GROUP BY doc_id
 def mm_mixed_format_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heterogeneous-container ingest (operators/multimodal.py:
     sniff_format/decode_image/mixed_image_features): every blob is
-    routed by MAGIC BYTES alone — even doc_ids arrive as P6 PPM, odd as
-    PNG (zlib + CRC-32 + scanline filters), and decode_image picks the
-    decoder with no per-row format hint. The graded columns are
-    integer-exact aggregates of the DECODED pixels of both formats in
-    one pass; the oracle regenerates each format's pixels
+    routed by MAGIC BYTES alone — doc_id % 3 arrives as P6 PPM, PNG
+    (zlib + CRC-32 + scanline filters), or baseline JPEG (marker walk +
+    canonical Huffman + dequant + IDCT, operators/jpeg.py; the corpus
+    images are constant per 8x8 block with a unit quant table, the
+    regime where the lossy codec is bit-exact), and decode_image picks
+    the decoder with no per-row format hint. The graded columns are
+    integer-exact aggregates of the DECODED pixels of all three formats
+    in one pass; the oracle regenerates each format's pixels
     arithmetically, so a mis-sniff (wrong decoder per row) or any
-    decode bug in either branch breaks the hash.
+    decode bug in any branch breaks the hash.
 
     Scale: pure map-side — sniff + decode + reduce run inside the
     executor Arrow batch; only 7-column feature rows shuffle. This is

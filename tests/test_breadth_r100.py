@@ -44,22 +44,30 @@ def test_decode_image_dispatches_by_content():
 
 
 def test_decode_image_raises_only_for_external_codecs():
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    with pytest.raises(NotImplementedError, match="gif"):
+        decode_image(b"GIF89a" + b"\x00" * 32)
     with pytest.raises(NotImplementedError, match="unknown"):
         decode_image(b"not an image")
     # wav is sniffable but not an IMAGE decode — stays at the seam
     with pytest.raises(NotImplementedError, match="wav"):
         decode_image(synth_wav(1))
+    # jpeg now dispatches to a real decoder: garbage after the magic is
+    # a loud ValueError from the marker walk, never a silent result
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 
 def test_mixed_format_decode_matches_python(spark):
+    from matt3r_data_ingestion_serverless_spark.operators.multimodal import synth_jpeg
+
     rows = mm_mixed_format_decode(spark, SF_SMOKE).collect()
     docs = {d.doc_id for d in load_table(spark, SF_SMOKE, "documents").collect()}
     assert {r.doc_id for r in rows} == docs
-    for r in rows[:20]:
-        blob = synth_ppm(r.doc_id) if r.doc_id % 2 == 0 else synth_png(r.doc_id)
-        assert r.fmt == ("ppm" if r.doc_id % 2 == 0 else "png")
+    fmts = {r.fmt for r in rows}
+    assert fmts == {"ppm", "png", "jpeg"}
+    for r in rows[:30]:
+        blob = (synth_ppm, synth_png, synth_jpeg)[r.doc_id % 3](r.doc_id)
+        assert r.fmt == ("ppm", "png", "jpeg")[r.doc_id % 3]
         w, h, px = decode_image(blob)
         v = px.astype(np.int64)
         flat = v.reshape(-1)
