@@ -596,6 +596,56 @@ class LakehouseTable:
             man,
         )
 
+    def count_where_range(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> tuple[int, DataFrame, int]:
+        """Iceberg-style COUNT WITH RESIDUAL for ``col BETWEEN lo AND
+        hi``: files whose [min, max] stats lie FULLY inside the range
+        contribute their manifest row counts (zero bytes read); only
+        BOUNDARY files — stats straddling an endpoint, or missing stats
+        for ``col`` — need an exact residual scan. Returns
+        (rows_from_stats, residual DataFrame over boundary files only,
+        n_boundary_files); the caller filters the residual exactly and
+        adds its count. Disjoint files contribute nothing.
+
+        At 100 TB a half-keyspace count opens O(boundary) files — for a
+        range-clustered layout that is ~1 file per endpoint — instead
+        of scanning half the table. Refuses snapshots carrying
+        equality-delete tombstones: a deleted row is invisible to the
+        residual scan's anti-join but still counted in the untouched
+        files' manifest row counts, so the stats side would overcount.
+        """
+        man = self.manifest(version)
+        if man.get("delete_list"):
+            raise ValueError(
+                "count_where_range: snapshot carries merge-on-read "
+                "tombstones; manifest row counts would overcount — "
+                "compact first or count via read()"
+            )
+        full_rows = 0
+        boundary: list[dict] = []
+        for e in man["file_list"]:
+            st = e["stats"].get(col)
+            if st is None:
+                boundary.append(e)  # no stats: conservative residual
+            elif st[1] < lo or st[0] > hi:
+                continue  # disjoint: contributes nothing
+            elif lo <= st[0] and st[1] <= hi:
+                full_rows += e["rows"]  # fully covered: stats only
+            else:
+                boundary.append(e)
+        if boundary:
+            residual = self._apply_schema_reader(man).parquet(
+                *[os.path.join(self.path, e["path"]) for e in boundary]
+            )
+        else:
+            # empty residual straight from the manifest schema — no
+            # data file is opened when the stats fully decide the count
+            residual = self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(man["schema_json"]))
+            )
+        return full_rows, residual, len(boundary)
+
     def files_scanned(
         self, bounds: dict[str, tuple], version: int | None = None
     ) -> tuple[int, int]:

@@ -204,3 +204,137 @@ def test_metadata_only_agg_oracle_parity(spark):
 
     con = duckdb_con(SF_SMOKE)
     assert compare(j19_metadata_only_agg(spark, SF_SMOKE), con, _J19_SQL) == []
+
+
+# -- telemetry z-order (j20) --------------------------------------------------
+
+
+def test_zsignals_scan_prunes_both_dimensions(spark):
+    """The telemetry layout's point of existence: a device-hash POINT
+    prunes files, a time RANGE prunes files, and their conjunction
+    opens a strict minority of the layout — from the same one-column
+    min/max manifest stats."""
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r100 import (
+        _ZSIG_FILES,
+        _zsig_window,
+        _zsignals_table,
+    )
+
+    tbl, _root, hashes, (t_lo, t_hi) = _zsignals_table(spark, SF_SMOKE)
+    total = tbl.files_scanned({"device_hash": (0, 1 << 16)})[1]
+    assert total == _ZSIG_FILES
+    w0, w1 = _zsig_window()
+    for h in hashes.values():
+        # device dimension alone prunes
+        dev_only, _ = tbl.files_scanned({"device_hash": (h, h)})
+        assert dev_only < total
+        # conjunction prunes at least as hard, to a strict minority
+        both, _ = tbl.files_scanned({"device_hash": (h, h), "ts_sec": (w0, w1 - 1)})
+        assert both <= dev_only
+        assert both <= total // 4, (both, total)
+    # time dimension alone prunes too (a 1/8 slice of the span)
+    t_cut = t_lo + (t_hi - t_lo) // 8
+    time_only, _ = tbl.files_scanned({"ts_sec": (t_lo, t_cut)})
+    assert time_only < total
+
+
+def test_zsignals_scan_loses_no_rows(spark):
+    """Manifest pruning is a superset guarantee: the pruned scan plus
+    the exact filter must equal the brute-force filter over the raw
+    table, row for row."""
+    from pyspark.sql import functions as F
+
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r100 import (
+        _ZSIG_DEVICES,
+        _zsig_window,
+        j20_telemetry_zorder_scan,
+    )
+
+    w0, w1 = _zsig_window()
+    got = {
+        (r.event_type, r.n, r.sum_cents, r.n_devices)
+        for r in j20_telemetry_zorder_scan(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    ts_sec = F.floor(F.unix_micros("ts") / F.lit(1_000_000))
+    brute = (
+        ev.filter(F.col("user_id").isin(*_ZSIG_DEVICES) & (ts_sec >= w0) & (ts_sec < w1))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("long").alias("sum_cents"),
+            F.count_distinct("user_id").cast("long").alias("n_devices"),
+        )
+    )
+    want = {(r.event_type, r.n, r.sum_cents, r.n_devices) for r in brute.collect()}
+    assert got == want and len(got) > 0
+
+
+# -- metadata count with residual (j21) ----------------------------------------
+
+
+def test_count_residual_opens_at_most_boundary_files(spark):
+    """Half-keyspace count: every fully-covered file is counted from
+    manifest stats; at most the file(s) straddling the cut are read.
+    The full-table read is boobytrapped to prove it is never called."""
+    from matt3r_data_ingestion_serverless_spark.operators.lakehouse import (
+        LakehouseTable,
+    )
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r100 import (
+        _key_range,
+        j21_metadata_count_residual,
+    )
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r69 import (
+        _shared_merged_table,
+    )
+
+    tbl, _root, _cut = _shared_merged_table(spark, SF_SMOKE)
+    man = tbl.manifest(1)
+    k_lo = min(e["stats"]["k"][0] for e in man["file_list"])
+    _, k_hi = _key_range(SF_SMOKE, "o_orderkey")
+    full, _residual, n_boundary = tbl.count_where_range("k", k_lo, k_hi // 2, version=1)
+    assert n_boundary <= 2, n_boundary
+    assert full > 0
+    orig = LakehouseTable.read
+    LakehouseTable.read = None  # any full-table read -> TypeError
+    try:
+        row = j21_metadata_count_residual(spark, SF_SMOKE).first()
+    finally:
+        LakehouseTable.read = orig
+    assert row.n_rows > 0
+
+
+def test_count_residual_equals_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r100 import (
+        _key_range,
+        j21_metadata_count_residual,
+    )
+
+    _, k_hi = _key_range(SF_SMOKE, "o_orderkey")
+    brute = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter((F.col("o_orderkey") % 4 != 3) & (F.col("o_orderkey") <= k_hi // 2))
+        .count()
+    )
+    assert j21_metadata_count_residual(spark, SF_SMOKE).first().n_rows == brute
+
+
+def test_count_residual_refuses_tombstoned_snapshots(spark, tmp_path):
+    """Merge-on-read deletes make manifest row counts overcount — the
+    stats fold must refuse loudly, not return a stale number."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from matt3r_data_ingestion_serverless_spark.operators.lakehouse import (
+        LakehouseTable,
+    )
+
+    root = str(tmp_path / "tomb")
+    tbl = LakehouseTable.create(
+        spark.range(0, 100).withColumnRenamed("id", "k"), root, stats_cols=["k"]
+    )
+    tbl.delete_where(F.col("k") == 5, keys=["k"])
+    with pytest.raises(ValueError, match="tombstones"):
+        tbl.count_where_range("k", 0, 50)
