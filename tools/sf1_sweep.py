@@ -99,8 +99,26 @@ def main() -> None:
     )["queries"]
     top_exp = sorted(bench, key=bench.get, reverse=True)[:40]
 
+    # r08 extension (VERDICT r07 next-step 3): the overflow-prone
+    # shapes — window rank/sum moments, decimal/money arithmetic, array
+    # accumulation, sketches — plus the graph/ML iterative family,
+    # selected by name pattern over the whole registry. The Spearman
+    # overflow proved 10x rows find bugs sf0.1 cannot; these are the
+    # shapes where accumulator width or convergence depends on n.
+    import re
+
+    _OVERFLOW_PRONE = re.compile(
+        r"(corr|rank|quantile|percent|ntile|median|hist|cum|running|rolling"
+        r"|moment|skew|kurt|zscore|std|var_|cov|sum|wavg|weighted|decimal"
+        r"|ledger|balance|basket|graph_|ml_|kmeans|dbscan|pagerank|bfs"
+        r"|component|silhouette|regress|calibrat|auc|gini|entropy|window"
+        r"|sessioniz|retention|funnel|cohort|topk|top_k|nth|lag|lead|asof"
+        r"|interval|sketch|hll|cms|tdigest|approx)"
+    )
+    families_r8 = [n for n in sorted(queries) if _OVERFLOW_PRONE.search(n)]
+
     names = []
-    for n in THRESHOLD_QUERIES + STREAMED + LAKEHOUSE + TELEMETRY + top_exp:
+    for n in THRESHOLD_QUERIES + STREAMED + LAKEHOUSE + TELEMETRY + top_exp + families_r8:
         if n in queries and n not in names:
             names.append(n)
 
@@ -153,6 +171,7 @@ def main() -> None:
             "lakehouse": len([n for n in LAKEHOUSE if n in results]),
             "telemetry": len([n for n in TELEMETRY if n in results]),
             "bench_top40": len([n for n in top_exp if n in results]),
+            "overflow_prone_r8": len([n for n in families_r8 if n in results]),
         },
         "queries": results,
         "summary": {
