@@ -596,6 +596,41 @@ class LakehouseTable:
             man,
         )
 
+    def scan_any(
+        self, bounds_list: list[dict[str, tuple]], version: int | None = None
+    ) -> DataFrame:
+        """File-skipping read for a DISJUNCTION of bounds (e.g. a
+        device cohort: one bounds dict per device-hash point x time
+        range): a file is opened iff it overlaps ANY of the bounds
+        dicts, and the deduped union is read in ONE reader — k
+        point-lookups cost one scan job instead of k scans + a union.
+        The caller still applies the exact row filter (the prune is a
+        superset, like :meth:`scan`)."""
+        man = self.manifest(version)
+        hit_paths: dict[str, None] = {}
+        for bounds in bounds_list:
+            for e in self._split_by_range(man, bounds)[0]:
+                hit_paths.setdefault(e["path"])
+        if not hit_paths:
+            return self.read(version).limit(0)
+        return self._apply_deletes(
+            self._apply_schema_reader(man).parquet(
+                *[os.path.join(self.path, p) for p in hit_paths]
+            ),
+            man,
+        )
+
+    def files_scanned_any(
+        self, bounds_list: list[dict[str, tuple]], version: int | None = None
+    ) -> tuple[int, int]:
+        """(files read, files total) for :meth:`scan_any` — the probe
+        the pruning-ratio pins cite."""
+        man = self.manifest(version)
+        hit: set[str] = set()
+        for bounds in bounds_list:
+            hit.update(e["path"] for e in self._split_by_range(man, bounds)[0])
+        return len(hit), man["files"]
+
     def count_where_range(
         self, col: str, lo, hi, version: int | None = None
     ) -> tuple[int, DataFrame, int]:

@@ -378,13 +378,15 @@ def _zsig_window() -> tuple[int, int]:
 @register("j20_telemetry_zorder_scan", _J20_SQL)
 def j20_telemetry_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(device-set x time-range) signal read over the z-clustered
-    telemetry layout: per cohort device, one manifest-pruned scan
-    bounded on BOTH device_hash (a point) and ts_sec (the week), then
-    the exact row filter and one aggregate. The oracle runs the same
-    predicate over the raw events table — identical rows prove the
-    pruned read lost nothing; tests/test_breadth_r100.py pins the
-    pruning ratio (each point-scan opens a strict minority of the 16
-    files) and that the three scans' union covers the cohort exactly.
+    telemetry layout: the cohort's per-device (device_hash point x
+    week) bounds prune files as a DISJUNCTION — scan_any opens the
+    deduped union of overlapping files in ONE reader (k point-lookups
+    cost one scan job, not k scans + a union) — then the exact row
+    filter and one aggregate. The oracle runs the same predicate over
+    the raw events table — identical rows prove the pruned read lost
+    nothing; tests/test_breadth_r100.py pins the pruning ratio (each
+    point-scan opens a strict minority of the 16 files) and that the
+    cohort union covers exactly.
 
     Scale: this is the reference's hot path at 100 TB — the z layout
     answers a device-cohort week from O(cohort x overlapping z-tiles)
@@ -394,19 +396,16 @@ def j20_telemetry_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tbl, _root, hashes, _ext = _zsignals_table(spark, sf_dir)
     w0, w1 = _zsig_window()
-    parts = []
-    for d in _ZSIG_DEVICES:
-        h = hashes[d]
-        parts.append(
-            tbl.scan({"device_hash": (h, h), "ts_sec": (w0, w1 - 1)}).filter(
-                (F.col("user_id") == d)
-                & (F.col("ts_sec") >= w0)
-                & (F.col("ts_sec") < w1)
-            )
-        )
-    cohort = parts[0]
-    for p in parts[1:]:
-        cohort = cohort.unionByName(p)
+    cohort = tbl.scan_any(
+        [
+            {"device_hash": (h, h), "ts_sec": (w0, w1 - 1)}
+            for h in hashes.values()
+        ]
+    ).filter(
+        F.col("user_id").isin(*_ZSIG_DEVICES)
+        & (F.col("ts_sec") >= w0)
+        & (F.col("ts_sec") < w1)
+    )
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     return cohort.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -338,3 +338,32 @@ def test_count_residual_refuses_tombstoned_snapshots(spark, tmp_path):
     tbl.delete_where(F.col("k") == 5, keys=["k"])
     with pytest.raises(ValueError, match="tombstones"):
         tbl.count_where_range("k", 0, 50)
+
+
+def test_scan_any_opens_exact_union_of_per_bounds_sets(spark):
+    """scan_any's disjunctive prune must open exactly the union of the
+    per-bounds file sets — never more (no pruning lost to the union)
+    and never fewer (no rows lost) — in one reader."""
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r100 import (
+        _zsig_window,
+        _zsignals_table,
+    )
+
+    tbl, _root, hashes, _ext = _zsignals_table(spark, SF_SMOKE)
+    w0, w1 = _zsig_window()
+    bounds_list = [
+        {"device_hash": (h, h), "ts_sec": (w0, w1 - 1)} for h in hashes.values()
+    ]
+    man = tbl.manifest()
+    union_paths = set()
+    for b in bounds_list:
+        union_paths.update(e["path"] for e in tbl._split_by_range(man, b)[0])
+    n_any, total = tbl.files_scanned_any(bounds_list)
+    assert n_any == len(union_paths)
+    assert n_any < total  # the disjunction still prunes
+    per_scan_rows = 0
+    for b in bounds_list:
+        per_scan_rows += tbl.scan(b).count()
+    # union read covers at least each individual scan's rows (files
+    # shared between bounds are read once but contain all their rows)
+    assert tbl.scan_any(bounds_list).count() >= per_scan_rows / len(bounds_list)
