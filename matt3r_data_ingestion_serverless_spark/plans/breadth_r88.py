@@ -161,26 +161,21 @@ def basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .localCheckpoint(eager=True)
     )
-    # scale-aware threshold: the 1% bar if non-vacuous, else top-10 —
-    # two 1-row aggregates over the lattice-sized support table,
-    # broadcast back (no driver collect)
-    s10 = (
-        sup.orderBy(F.col("support").desc())
-        .limit(10)
-        .agg(F.min("support").alias("s10"))
-    )
-    thr = (
-        sup.agg(F.max("support").alias("mx"))
-        .crossJoin(s10)
-        .select(
-            F.when(F.col("mx") >= minsup, F.lit(minsup))
-            .otherwise(F.col("s10"))
-            .alias("t")
-        )
-    )
-    return sup.join(F.broadcast(thr), F.col("support") >= F.col("t")).select(
-        "ia", "ib", "ic", "support"
-    )
+    # scale-aware threshold: the 1% bar if non-vacuous, else top-10.
+    # One bounded 2-scalar collect over the LATTICE-sized support table
+    # (<= C(items, 3) rows, never data-sized — same class as the nb
+    # count above); a range-join against a 1-row threshold would turn
+    # the plan's all-equijoin shape into a BroadcastNestedLoopJoin
+    # (pinned by tests/test_plan_shapes_r4c.py).
+    row = sup.agg(F.max("support").alias("mx")).first()
+    if row.mx is not None and row.mx >= minsup:
+        thr = minsup
+    else:
+        top = sup.orderBy(F.col("support").desc()).limit(10).agg(
+            F.min("support").alias("s10")
+        ).first()
+        thr = top.s10 if top.s10 is not None else minsup
+    return sup.filter(F.col("support") >= thr).select("ia", "ib", "ic", "support")
 
 
 # ---------------------------------------------------------------------------

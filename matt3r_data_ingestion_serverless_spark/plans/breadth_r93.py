@@ -67,8 +67,13 @@ cand AS (
   FROM ord WHERE next_x IS NOT NULL AND next_x > x
 ),
 best AS (
+  -- argmin key rounds sse to 1e-2 (= the reported sse/10000 at 1e-6):
+  -- the old * 1e6 key overflowed Spark's floor-to-LONG at sf1 (sse ~
+  -- 2.5e13 -> 2.5e19 > 2^63), collapsing every key to Long.MAX and
+  -- letting the x tiebreak pick the first candidate. * 1e2 keeps the
+  -- key exact to ~9e16 of raw SSE (~4000x sf1).
   SELECT * FROM cand
-  ORDER BY floor(sse * 1e6 + 0.5) ASC, x ASC LIMIT 1
+  ORDER BY floor(sse * 1e2 + 0.5) ASC, x ASC LIMIT 1
 )
 SELECT {round6_sql('(x + next_x) / 2.0 / 100')} AS threshold_r,
        i AS n_left, n - i AS n_right,
@@ -85,8 +90,11 @@ def ml_cart_root_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one minimizing SSE(left)+SSE(right) for post-period spend —
     decision-tree induction's inner loop as ONE sorted prefix-sum pass
     (no per-candidate rescans: both sides' SSEs come from running
-    Σy, Σy² and the totals). The argmin compares micro-rounded SSEs
-    with the threshold as tiebreak.
+    Σy, Σy² and the totals). The argmin compares SSEs rounded to 1e-2
+    with the threshold as tiebreak — the r08 sf1 sweep caught the old
+    1e-6 key overflowing Spark's floor-to-LONG at 10x rows (every key
+    collapsed to Long.MAX and the tiebreak picked the first
+    candidate).
 
     Scale: one groupBy(user), one global sort with running sums (at
     scale: range-partitioned sort + per-partition offsets, the §2
@@ -127,7 +135,7 @@ def ml_cart_root_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sse0"),
     )
     best = cand.orderBy(
-        F.asc(F.floor(F.col("sse") * 1e6 + 0.5)), F.asc("x")
+        F.asc(F.floor(F.col("sse") * 1e2 + 0.5)), F.asc("x")
     ).limit(1)
     return best.select(
         round6((F.col("x") + F.col("next_x")) / 2.0 / 100).alias("threshold_r"),

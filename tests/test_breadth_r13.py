@@ -48,18 +48,30 @@ def test_derivative_matches_python(spark):
 
 
 def test_link_prediction_matches_python(spark):
-    from matt3r_data_ingestion_serverless_spark.plans.northstar import (
-        ns_dedup_minhash_lsh,
+    """Brute-force twin on the co-purchase graph (r08 substrate: parts
+    sharing >= 2 distinct orders — the LSH dup graph was a union of
+    cliques, making the non-adjacency anti-join structurally empty)."""
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r13 import (
+        _LP_MIN_COOCCUR,
     )
 
-    pairs = [
-        (r.doc_a, r.doc_b)
-        for r in ns_dedup_minhash_lsh(spark, SF_SMOKE).select("doc_a", "doc_b").collect()
-    ]
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    per_order = defaultdict(set)
+    for r in li:
+        per_order[r.l_orderkey].add(r.l_partkey)
+    weight = defaultdict(int)
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                weight[(a, b)] += 1
     adj = defaultdict(set)
-    for a, b in pairs:
-        adj[a].add(b)
-        adj[b].add(a)
+    for (a, b), w in weight.items():
+        if w >= _LP_MIN_COOCCUR:
+            adj[a].add(b)
+            adj[b].add(a)
     expected = {}
     nodes = sorted(adj)
     for i, u in enumerate(nodes):
@@ -73,10 +85,10 @@ def test_link_prediction_matches_python(spark):
             if jac >= _LP_MIN_JACCARD:
                 expected[(u, v)] = (cn, _round6(jac))
     got = {
-        (r.doc_a, r.doc_b): (r.common_neighbors, r.nbr_jaccard)
+        (r.part_a, r.part_b): (r.common_neighbors, r.nbr_jaccard)
         for r in graph_link_prediction(spark, SF_SMOKE).collect()
     }
-    assert got == expected
+    assert got == expected and len(got) > 0
 
 
 def test_pot_tail_matches_python(spark):

@@ -237,6 +237,15 @@ def main() -> None:
         base = texts[200 + i].split(" ")
         base[len(base) // 2] = vocab[int(rng.integers(0, len(vocab)))]
         texts[n_docs - 200 - i] = " ".join(base)
+    # planted dup clusters of size >= 3 (r08): the real sf0.1 testdata
+    # carries multi-copy duplicates (its LSH dup graph has 13
+    # triangles), and graph_triangles / clustering-coefficient grade
+    # vacuously without them — 8 triples + 2 quads, ~0.17% of docs
+    for c in range(10):
+        src = 500 + 7 * c
+        copies = 3 if c < 8 else 4
+        for j in range(1, copies):
+            texts[n_docs - 1000 - 11 * c - j] = texts[src]
     write(
         "documents",
         pa.table(

@@ -57,6 +57,8 @@ LAKEHOUSE = [
     "j12_lakehouse_concurrent_merge", "j13_lakehouse_vacuum",
     "j14_lakehouse_matched_only_merge", "j15_lakehouse_snapshot_diff",
     "j16_lakehouse_merge_on_read_delete", "j17_lakehouse_write_audit_publish",
+    "j18_lakehouse_zorder_skipping", "j19_metadata_only_agg",
+    "j20_telemetry_zorder_scan", "j21_metadata_count_residual",
 ]
 
 # the reference-parity telemetry heads: the queries a user of the
