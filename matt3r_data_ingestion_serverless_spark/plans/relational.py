@@ -32,14 +32,36 @@ def _dec(col, scale: int = 4):
     return col.cast(f"decimal(18,{scale})")
 
 
+def _dec_sum_dbl(col, scale: int = 4):
+    """Exact decimal sum surfaced as a cross-engine-identical DOUBLE.
+
+    `CAST(decimal AS DOUBLE)` is NOT portable once the decimal's scaled
+    integer exceeds 2^53: DuckDB converts via int128 -> double -> x
+    10^-scale (two roundings, can land one ulp off) while Spark's
+    BigDecimal.doubleValue() rounds once — caught by the r08 sf1 sweep
+    on q1's sum_charge (5.2e16 micros). Bridge through an exact BIGINT
+    of scaled units instead: int64 -> double is correctly rounded in
+    both engines and the final /10^scale is one identical IEEE divide.
+    Exact while sum x 10^scale < 2^63 (~9.2e12 at scale 6 — sf ~600)."""
+    s = F.sum(col.cast(f"decimal(18,{scale})"))
+    return (s * (10**scale)).cast("long").cast("double") / float(10**scale)
+
+
+def _dec_sum_dbl_sql(expr: str, scale: int = 4) -> str:
+    return (
+        f"CAST(CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) * {10**scale} "
+        f"AS BIGINT) AS DOUBLE) / {float(10**scale)}"
+    )
+
+
 @register(
     "q1_pricing_summary",
-    sql="""
+    sql=f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 6) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       {_dec_sum_dbl_sql("l_extendedprice", 2)} AS sum_base_price,
+       {_dec_sum_dbl_sql("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+       {_dec_sum_dbl_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_extendedprice), 6) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,
@@ -60,12 +82,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.sum(_dec(F.col("l_extendedprice"), 2)).cast("double").alias("sum_base_price"),
-            F.sum(_dec(disc_price)).cast("double").alias("sum_disc_price"),
+            _dec_sum_dbl(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _dec_sum_dbl(disc_price, 4).alias("sum_disc_price"),
             # charge = price(2dp)·(1-disc)(2dp)·(1+tax)(2dp) has exactly 6
             # decimal digits — cast at scale 6 lands on-grid (no rounding,
             # so no HALF_UP-vs-half-even divergence between engines).
-            F.sum(_dec(charge, 6)).cast("double").alias("sum_charge"),
+            _dec_sum_dbl(charge, 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
