@@ -42,6 +42,9 @@ def main() -> None:
 
     con = duckdb_con(SF1)
     doc = json.load(open(OUT))
+    if os.path.exists(OUT + ".inc"):  # recover a crashed/killed run
+        doc["queries"].update(json.load(open(OUT + ".inc")))
+    names = [n for n in names if n not in doc["queries"]]  # resume
     for name in names:
         try:
             df = queries[name](spark, SF1)
@@ -62,6 +65,9 @@ def main() -> None:
                 "spark_rows": None,
             }
         print(name, doc["queries"][name], flush=True)
+        with open(OUT + ".inc", "w") as f:  # incremental checkpoint
+            json.dump(doc["queries"], f)
+        spark.catalog.clearCache()
     res = doc["queries"]
     doc["summary"] = {
         "queries": len(res),
