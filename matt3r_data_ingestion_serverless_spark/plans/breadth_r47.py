@@ -164,19 +164,21 @@ def new_vs_repeat_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUPPAY_SQL = """
 WITH g AS (
-  SELECT o_custkey,
-         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
-         strftime(o_orderdate, '%Y-%m-%d') AS day,
+  SELECT user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
          count(*) AS n,
-         min(o_orderkey) AS first_orderkey,
-         max(o_orderkey) AS last_orderkey
-  FROM orders
-  GROUP BY 1, 2, 3 HAVING count(*) > 1
+         min(event_id) AS first_event,
+         max(event_id) AS last_event,
+         strftime(min(ts), '%Y-%m-%d') AS first_day,
+         strftime(max(ts), '%Y-%m-%d') AS last_day
+  FROM events
+  GROUP BY 1, 2 HAVING count(*) > 1
 )
-SELECT o_custkey, cents, day,
-       CAST(n AS BIGINT) AS n_orders,
-       CAST(first_orderkey AS BIGINT) AS first_orderkey,
-       CAST(last_orderkey AS BIGINT) AS last_orderkey,
+SELECT user_id, cents,
+       CAST(n AS BIGINT) AS n_payments,
+       CAST(first_event AS BIGINT) AS first_event,
+       CAST(last_event AS BIGINT) AS last_event,
+       first_day, last_day,
        CAST((n - 1) * cents AS BIGINT) AS exposure_cents
 FROM g
 """
@@ -184,33 +186,46 @@ FROM g
 
 @register("duplicate_payment_audit", _DUPPAY_SQL)
 def duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-payment control: orders from the SAME customer for
-    the SAME amount on the SAME day — the classic accounts-payable
-    audit (beside monetary_unit_sampling's PPS selection and
+    """Duplicate-payment control: payment events from the SAME payer
+    for the SAME exact amount — the classic accounts-payable audit
+    (beside monetary_unit_sampling's PPS selection and
     benford_digit_audit's digit screen). Exact cents make the amount
     key collision-precise; exposure = (n−1)·amount is the recoverable
-    value if all but one are refunds. One hash agg with HAVING —
-    map-side combine keeps the shuffle at group granularity."""
-    orders = load_table(spark, sf_dir, "orders")
+    value if all but one are erroneous re-submissions; first/last day
+    bound the recurrence window for the reviewer.
+
+    r08 finding: the original orders-based variant was VACUOUS AT
+    EVERY SF — o_totalprice is uniform over ~10^7 distinct cents, so a
+    (customer, amount, day) collision structurally never occurs; the
+    audit belongs on the payment-events stream, whose exponential
+    amount distribution concentrates small values exactly like real
+    payment ledgers (2 / 42 / 337 / 3310 flagged groups at
+    sf0.001/0.01/0.1/1).
+
+    One hash agg with HAVING — map-side combine keeps the shuffle at
+    group granularity."""
+    ev = load_table(spark, sf_dir, "events")
     g = (
-        orders.groupBy(
-            "o_custkey",
-            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        ev.groupBy(
+            "user_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
         )
         .agg(
             F.count("*").alias("n"),
-            F.min("o_orderkey").alias("first_orderkey"),
-            F.max("o_orderkey").alias("last_orderkey"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd").alias("last_day"),
         )
         .filter(F.col("n") > 1)
     )
     return g.select(
-        "o_custkey",
+        "user_id",
         "cents",
-        "day",
-        F.col("n").cast("long").alias("n_orders"),
-        F.col("first_orderkey").cast("long").alias("first_orderkey"),
-        F.col("last_orderkey").cast("long").alias("last_orderkey"),
+        F.col("n").cast("long").alias("n_payments"),
+        F.col("first_event").cast("long").alias("first_event"),
+        F.col("last_event").cast("long").alias("last_event"),
+        "first_day",
+        "last_day",
         ((F.col("n") - 1) * F.col("cents")).cast("long").alias("exposure_cents"),
     )
