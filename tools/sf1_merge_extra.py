@@ -45,7 +45,14 @@ def main() -> None:
     if os.path.exists(OUT + ".inc"):  # recover a crashed/killed run
         doc["queries"].update(json.load(open(OUT + ".inc")))
     names = [n for n in names if n not in doc["queries"]]  # resume
-    for name in names:
+    for qi, name in enumerate(names):
+        if qi and qi % 20 == 0:
+            # a long-lived DuckDB connection accumulates buffers across
+            # hundreds of oracle runs and eventually OOMs the whole
+            # process (r08: 163 queries poisoned past one OOM) —
+            # recycle it periodically
+            con.close()
+            con = duckdb_con(SF1)
         try:
             df = queries[name](spark, SF1)
             sql = oracles.get(name)
