@@ -145,15 +145,22 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = F.sum("decile_cents").over(
         Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # cum x 1e6 overflows int64 at sf1 (total ~3e13 cents -> 3e19 —
+    # caught by the r08 sf1 sweep as ARITHMETIC_OVERFLOW); accumulate
+    # the share numerator in decimal(38,0) and take the exact floor
+    # quotient via the pmod identity (same discipline as
+    # zorder._scale_exact / spearman's HUGEINT moments)
     return d.select(
         "decile",
         F.col("n_suppliers").cast("long").alias("n_suppliers"),
         F.col("decile_cents").cast("long").alias("decile_cents"),
-        (cum * 1000000).alias("_num"),
-        "total",
+        (cum.cast("decimal(38,0)") * 1000000).alias("_num"),
+        F.col("total").cast("decimal(38,0)").alias("_tot"),
     ).select(
         "decile",
         "n_suppliers",
         "decile_cents",
-        F.expr("_num div total").cast("long").alias("cum_share_micro"),
+        ((F.col("_num") - F.pmod("_num", F.col("_tot"))) / F.col("_tot"))
+        .cast("long")
+        .alias("cum_share_micro"),
     )
