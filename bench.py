@@ -87,9 +87,41 @@ def main() -> None:
         except Exception:
             return -1
 
+    # ------------------------------------------------------------------
+    # Machine-load canary (VERDICT r08 #3). Identical trees measured
+    # 313 s (builder session) vs 384 s (driver session) — a +23 %
+    # machine-load term invisible to the artifact, which manufactures
+    # phantom cross-session regressions. Interleave a CONSTANT-COST
+    # probe (fixed in-memory range-agg, no file I/O, independent of
+    # sf_dir and of the query surface) through the sweep and record its
+    # trajectory: any sweep then carries its own load normalizer.
+    # Normalization rule (BASELINE.md): cross-session per-query diffs
+    # are admissible only after dividing each side by its sweep's
+    # canary median; residual differences within the ±7 % same-process
+    # floor are weather.
+    # ------------------------------------------------------------------
+    CANARY_EVERY = 25
+
+    def canary_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 20_000_000, 1, 8).selectExpr(
+            "sum(pmod(id * 2654435761, 1000)) as s"
+        ).collect()
+        return time.perf_counter() - t0
+
+    canary: dict[str, list] = {"samples": [], "t_wall": []}
+    canary_once()  # codegen warm-up, unrecorded
+
+    def canary_tick() -> None:
+        canary["t_wall"].append(round(time.time(), 3))
+        canary["samples"].append(round(canary_once(), 4))
+
+    canary_tick()
     timings: dict[str, float] = {}
     census: dict[str, dict] = {}
-    for name in names:
+    for qi, name in enumerate(names):
+        if qi and qi % CANARY_EVERY == 0:
+            canary_tick()
         fn, _ = registry[name]
         try:
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
@@ -181,13 +213,23 @@ def main() -> None:
         rec["t_wall"].append(round(time.time(), 3))
         gc0 = jvm_gc_ms()
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            # guarded like the warm-up: one flaky failure at the tail of
+            # a multi-minute sweep must not abort before the metric line
+            # and BENCH_STALLS.json are written (ADVICE r08) — on
+            # failure keep the original sweep timing
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            spark.catalog.clearCache()
+            continue
         elapsed = time.perf_counter() - t0
         rec["gc_ms"].append(jvm_gc_ms() - gc0)
         rec["resamples"].append(round(elapsed, 4))
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         timings[name] = round(min(timings[name], elapsed), 4)
+
+    canary_tick()  # post-sweep sample closes the trajectory
 
     stalls = [
         {
@@ -197,9 +239,17 @@ def main() -> None:
             "recorded": timings[n],
         }
         for n in suspects
-        if min(census[n]["resamples"]) < 0.75 * min(census[n]["samples"])
+        if census[n]["resamples"]
+        and min(census[n]["resamples"]) < 0.75 * min(census[n]["samples"])
     ]
-    with open(os.path.join(repo_dir, "BENCH_STALLS.json"), "w") as f:
+    if only:
+        # a filtered smoke run must not clobber the committed full-sweep
+        # artifacts (BENCH_FULL.json also feeds the next sweep's
+        # trailing stall baselines)
+        stalls_f = open(os.devnull, "w")
+    else:
+        stalls_f = open(os.path.join(repo_dir, "BENCH_STALLS.json"), "w")
+    with stalls_f as f:
         json.dump(
             {
                 "note": (
@@ -224,6 +274,9 @@ def main() -> None:
     # guaranteed to fit: headline queries first, then as many more as
     # fit a conservative budget; the complete per-query map goes to
     # BENCH_FULL.json next to this script (committed for the judge).
+    import statistics
+
+    canary_med = round(statistics.median(canary["samples"]), 4)
     full = {
         "metric": "total_query_time",
         "value": round(sum(timings.values()), 4),
@@ -231,14 +284,32 @@ def main() -> None:
         "queries": timings,
         "queries_timed": len(timings),
         "sf": sf_val,
+        "canary": {
+            "note": (
+                "constant-cost load probe (in-memory 20M-row range agg, "
+                "zero file I/O) sampled at sweep start, every "
+                f"{CANARY_EVERY} queries, and after the re-sample pass; "
+                "cross-session per-query comparisons must normalize by "
+                "the ratio of canary medians (BASELINE.md)"
+            ),
+            "samples": canary["samples"],
+            "t_wall": canary["t_wall"],
+            "median": canary_med,
+        },
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
-        json.dump(full, f, indent=1)
+    if not only:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+            "w",
+        ) as f:
+            json.dump(full, f, indent=1)
     compact: dict[str, float] = {}
     budget_keys = [n for n in HEADLINE if n in timings] + [
         n for n in sorted(timings) if n not in HEADLINE
     ]
     out = dict(full)
+    out.pop("canary", None)  # full series lives in BENCH_FULL.json
+    out["canary_med"] = canary_med
     for name in budget_keys:
         trial = dict(compact)
         trial[name] = timings[name]

@@ -189,8 +189,12 @@ class _BitReader:
 
     def _fill(self) -> None:
         d, p = self.data, self.pos
+        if p >= len(d):
+            raise ValueError("truncated JPEG: entropy data ends mid-stream")
         b = d[p]
         if b == 0xFF:
+            if p + 1 >= len(d):
+                raise ValueError("truncated JPEG: entropy data ends mid-stream")
             nxt = d[p + 1]
             if nxt == 0x00:
                 self.pos = p + 2
@@ -222,6 +226,8 @@ class _BitReader:
         self.nbits = 0
         d = self.data
         while True:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG: no restart marker before EOF")
             if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
                 self.pos += 2
                 return
@@ -443,16 +449,26 @@ def decode_jpeg(data: bytes, _return_coefs: bool = False):
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — consume them, bounds-checked (ADVICE r08)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG: stream ends inside a marker")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             raise ValueError("EOI before SOS")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG: stream ends inside a segment header")
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         if seglen < 2:
             raise ValueError(f"corrupt segment length {seglen} at {pos}")
         seg = data[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG: segment extends past EOF")
         pos += seglen
         if marker == 0xDB:  # DQT — possibly several tables
             p = 0
@@ -558,6 +574,10 @@ def _decode_scan(
                             ) from None
                         coef[ci][my * c["v"] + by, mx * c["h"] + bx] = zz
             mcu_count += 1
+    # the scan must be followed (after pad bits) by EOI — a stream cut
+    # just before its last two bytes would otherwise decode "cleanly"
+    if b"\xff\xd9" not in data[br.pos :]:
+        raise ValueError("truncated JPEG: missing EOI after entropy data")
     for ci, c in enumerate(comps):
         coef[ci] *= qtabs[c["tq"]].reshape(-1)
     if _return_coefs:

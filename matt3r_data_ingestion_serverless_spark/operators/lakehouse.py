@@ -306,6 +306,10 @@ class LakehouseTable:
         for c in portable:
             aggs.append(F.min(c).alias(f"__min_{c}"))
             aggs.append(F.max(c).alias(f"__max_{c}"))
+            # parquet-style per-column null count: min/max stats exclude
+            # NULLs, so stats-only answers (count_where_range) need to
+            # know whether a file hides rows the predicate can't see
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nul_{c}"))
         per_file = (
             self.spark.read.schema(schema)
             .parquet(out_dir)
@@ -319,14 +323,21 @@ class LakehouseTable:
             if not row["__rows"]:
                 continue
             stats: dict[str, list] = {}
+            nulls: dict[str, int] = {}
             for c in portable:
                 lo = _json_portable(row[f"__min_{c}"])
                 hi = _json_portable(row[f"__max_{c}"])
                 if lo is not None and hi is not None:
                     stats[c] = [lo, hi]
+                nulls[c] = int(row[f"__nul_{c}"] or 0)
             name = os.path.basename(row["__fp"])
             files.append(
-                {"path": os.path.join(sub, name), "rows": row["__rows"], "stats": stats}
+                {
+                    "path": os.path.join(sub, name),
+                    "rows": row["__rows"],
+                    "stats": stats,
+                    "nulls": nulls,
+                }
             )
         return files
 
@@ -372,6 +383,11 @@ class LakehouseTable:
             for c in portable:
                 aggs.append(F.min(F.when(inb, F.col(c))).alias(f"__lo_{i}_{c}"))
                 aggs.append(F.max(F.when(inb, F.col(c))).alias(f"__hi_{i}_{c}"))
+                aggs.append(
+                    F.count(F.when(inb & F.col(c).isNull(), F.lit(1))).alias(
+                        f"__nul_{i}_{c}"
+                    )
+                )
         obs = Observation()
         slots = _hash_slots(n)
         slot_col = F.element_at(
@@ -413,16 +429,19 @@ class LakehouseTable:
             if not rows:
                 continue
             stats: dict[str, list] = {}
+            nulls: dict[str, int] = {}
             for c in portable:
                 lo = _json_portable(m[f"__lo_{i}_{c}"])
                 hi = _json_portable(m[f"__hi_{i}_{c}"])
                 if lo is not None and hi is not None:
                     stats[c] = [lo, hi]
+                nulls[c] = int(m[f"__nul_{i}_{c}"] or 0)
             files.append(
                 {
                     "path": os.path.join(sub, by_idx[i][0]),
                     "rows": rows,
                     "stats": stats,
+                    "nulls": nulls,
                 }
             )
         return files, out
@@ -636,9 +655,12 @@ class LakehouseTable:
     ) -> tuple[int, DataFrame, int]:
         """Iceberg-style COUNT WITH RESIDUAL for ``col BETWEEN lo AND
         hi``: files whose [min, max] stats lie FULLY inside the range
-        contribute their manifest row counts (zero bytes read); only
-        BOUNDARY files — stats straddling an endpoint, or missing stats
-        for ``col`` — need an exact residual scan. Returns
+        AND carry a recorded zero null count for ``col`` contribute
+        their manifest row counts (zero bytes read); only BOUNDARY
+        files — stats straddling an endpoint, missing stats for
+        ``col``, or holding/possibly-holding NULL ``col`` rows (which
+        min/max can't see and BETWEEN rejects) — need an exact residual
+        scan. Returns
         (rows_from_stats, residual DataFrame over boundary files only,
         n_boundary_files); the caller filters the residual exactly and
         adds its count. Disjoint files contribute nothing.
@@ -661,12 +683,19 @@ class LakehouseTable:
         boundary: list[dict] = []
         for e in man["file_list"]:
             st = e["stats"].get(col)
+            # min/max stats EXCLUDE nulls: a file whose non-null values
+            # all lie inside [lo, hi] may still hold NULL `col` rows
+            # that fail BETWEEN — credit its manifest row count only
+            # when the null count is recorded AND zero; unknown
+            # (pre-nulls manifest) or positive routes it to the exact
+            # residual scan (ADVICE r08)
+            nul = e.get("nulls", {}).get(col)
             if st is None:
                 boundary.append(e)  # no stats: conservative residual
             elif st[1] < lo or st[0] > hi:
-                continue  # disjoint: contributes nothing
-            elif lo <= st[0] and st[1] <= hi:
-                full_rows += e["rows"]  # fully covered: stats only
+                continue  # disjoint: contributes nothing (nulls also fail)
+            elif lo <= st[0] and st[1] <= hi and nul == 0:
+                full_rows += e["rows"]  # fully covered, null-free: stats only
             else:
                 boundary.append(e)
         if boundary:

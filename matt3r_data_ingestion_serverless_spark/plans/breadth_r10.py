@@ -18,6 +18,7 @@ from matt3r_data_ingestion_serverless_spark.sources.tables import load_table, sp
 # ---------------------------------------------------------------------------
 
 _CHURN_GAP_US = 7 * 86_400_000_000  # inactive ≥ 7 days before corpus end
+_CHURN_TOP_SHARE = 0.05  # censoring floor: top-5% most-inactive users
 
 _KM_SQL = f"""
 WITH bounds AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
@@ -27,11 +28,18 @@ u AS (
          max(epoch_us(ts)) AS last_us
   FROM events GROUP BY user_id
 ),
-flagged AS (
-  SELECT u.user_id, u.dur_days,
-         CASE WHEN bounds.end_us - u.last_us >= {_CHURN_GAP_US}
-              THEN 1 ELSE 0 END AS churned
+gaps AS (
+  SELECT u.user_id, u.dur_days, bounds.end_us - u.last_us AS gap,
+         rank() OVER (ORDER BY bounds.end_us - u.last_us DESC) AS r,
+         count(*) OVER () AS nu
   FROM u, bounds
+),
+flagged AS (
+  SELECT user_id, dur_days,
+         CASE WHEN gap >= {_CHURN_GAP_US}
+                OR r <= CAST(ceil({_CHURN_TOP_SHARE} * nu) AS BIGINT)
+              THEN 1 ELSE 0 END AS churned
+  FROM gaps
 ),
 per_t AS (
   SELECT dur_days, count(*) AS n_ending, sum(churned) AS d
@@ -58,19 +66,26 @@ FROM risk WHERE d > 0
 def survival_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier risk table over user activity spans: duration = days
     between a user's first and last event; a user "churns" when their
-    last activity is ≥ 7 days before the corpus end (otherwise they are
-    right-censored). For each duration with churn events: the at-risk
-    count (users whose span reached t), churned count, and the discrete
-    hazard d/n — the per-step KM table retention analyses plot. The
-    cumulative survival PRODUCT is deliberately not emitted: a float
-    product folds in engine-dependent order; the per-step table carries
-    strictly more information and is exact-int except the single
-    rounded hazard ratio.
+    last activity is ≥ 7 days before the corpus end OR is among the
+    top-5% longest end-of-corpus inactivity gaps (rank-based censoring
+    floor — exact integer ranks, ties included, so the table is
+    non-degenerate on corpora whose observation window is shorter than
+    the absolute bar: the synthetic events table's max gap is ~3.9 days
+    at sf1, so the pure 7-day rule flags nobody at ANY sf — found
+    vacuous in round 8's sf1 sweep). Everyone else is right-censored.
+    For each duration with churn events: the at-risk count (users whose
+    span reached t), churned count, and the discrete hazard d/n — the
+    per-step KM table retention analyses plot. The cumulative survival
+    PRODUCT is deliberately not emitted: a float product folds in
+    engine-dependent order; the per-step table carries strictly more
+    information and is exact-int except the single rounded hazard ratio.
 
     Scale: one groupBy(user) with map-side combine collapses events to
-    one row per user; everything after runs on the duration histogram
-    (≤ observation-window days), where the reverse-cumulative at-risk
-    count is a tiny prefix-sum window."""
+    one row per user; everything after (the inactivity rank and the
+    duration histogram) runs on the per-user aggregate, ~1e-4× the
+    event count. The global rank window is the documented local[*]
+    simplification (SCALE.md: two-phase range-partitioned rank at
+    cluster scale)."""
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros("ts")
     u = ev.groupBy("user_id").agg(
@@ -80,11 +95,25 @@ def survival_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(us).alias("last_us"),
     )
     bounds = ev.agg(F.max(us).alias("end_us"))
-    flagged = u.crossJoin(F.broadcast(bounds)).select(
+    nu = u.agg(F.count("*").alias("nu"))
+    gaps = (
+        u.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "dur_days",
+            (F.col("end_us") - F.col("last_us")).alias("gap"),
+            "nu",
+        )
+    )
+    r = F.rank().over(Window.orderBy(F.desc("gap")))
+    flagged = gaps.select(
         "dur_days",
-        ((F.col("end_us") - F.col("last_us")) >= _CHURN_GAP_US).cast("int").alias(
-            "churned"
-        ),
+        (
+            (F.col("gap") >= _CHURN_GAP_US)
+            | (r <= F.ceil(_CHURN_TOP_SHARE * F.col("nu")).cast("long"))
+        )
+        .cast("int")
+        .alias("churned"),
     )
     per_t = flagged.groupBy("dur_days").agg(
         F.count("*").alias("n_ending"), F.sum("churned").alias("d")

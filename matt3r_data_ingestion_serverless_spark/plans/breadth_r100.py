@@ -290,6 +290,28 @@ GROUP BY event_type
 _ZSIG_TABLES: dict[str, tuple] = {}
 
 
+def _footer_ts_extent_utc(sf_dir: str) -> tuple[int, int]:
+    """[t_lo, t_hi) whole-second extent of events.ts from the parquet
+    footer row-group stats (zero Spark jobs, same stats discipline as
+    j18's _key_range). Footer stat datetimes are naive UTC; calling
+    .timestamp() on them naive applies the MACHINE timezone and shifts
+    the extent off the UTC-epoch ts_sec domain on non-UTC hosts
+    (ADVICE r08) — pin tzinfo=UTC explicitly, matching _zsig_window."""
+    import os as _os
+    from datetime import timezone as _tz
+
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(_os.path.join(sf_dir, "events.parquet")).metadata
+    idx = next(i for i in range(meta.num_columns) if meta.schema.column(i).name == "ts")
+    stats = [
+        meta.row_group(rg).column(idx).statistics for rg in range(meta.num_row_groups)
+    ]
+    t_lo = int(min(s.min for s in stats).replace(tzinfo=_tz.utc).timestamp())
+    t_hi = int(max(s.max for s in stats).replace(tzinfo=_tz.utc).timestamp()) + 1
+    return t_lo, t_hi
+
+
 def _zsignals_table(spark: SparkSession, sf_dir: str):
     """Process-shared z-clustered telemetry table: files are key-range
     buckets of z = morton(device_hash, ts_sec), so each file's manifest
@@ -321,18 +343,7 @@ def _zsignals_table(spark: SparkSession, sf_dir: str):
         "event_type",
         "value",
     )
-    # time extent from the parquet footer (zero Spark jobs), same stats
-    # discipline as j18's _key_range
-    import pyarrow.parquet as pq
-    import os as _os
-
-    meta = pq.ParquetFile(_os.path.join(sf_dir, "events.parquet")).metadata
-    idx = next(
-        i for i in range(meta.num_columns) if meta.schema.column(i).name == "ts"
-    )
-    stats = [meta.row_group(rg).column(idx).statistics for rg in range(meta.num_row_groups)]
-    t_lo = int(min(s.min for s in stats).timestamp())
-    t_hi = int(max(s.max for s in stats).timestamp()) + 1
+    t_lo, t_hi = _footer_ts_extent_utc(sf_dir)
     df = base.withColumn(
         "z",
         zorder2_scaled(

@@ -30,13 +30,19 @@ def test_survival_table_matches_python(spark):
         s[0] = us if s[0] is None else min(s[0], us)
         s[1] = us if s[1] is None else max(s[1], us)
     end_us = max(s[1] for s in spans.values())
+    n_users = len(spans)
+    # churn = absolute gap bar OR top-5% inactivity censoring floor
+    # (rank with ties: 1 + count of strictly larger gaps)
+    gaps = [end_us - s[1] for s in spans.values()]
+    k = math.ceil(0.05 * n_users)
     durs, churned_at = defaultdict(int), defaultdict(int)
     for s in spans.values():
         d = (s[1] - s[0]) // 86_400_000_000
         durs[d] += 1
-        if end_us - s[1] >= _CHURN_GAP_US:
+        gap = end_us - s[1]
+        rank = 1 + sum(g > gap for g in gaps)
+        if gap >= _CHURN_GAP_US or rank <= k:
             churned_at[d] += 1
-    n_users = len(spans)
     got = {r.t_days: r for r in survival_hazard_table(spark, SF_SMOKE).collect()}
     assert set(got) == {t for t, d in churned_at.items() if d > 0}
     for t, d in churned_at.items():

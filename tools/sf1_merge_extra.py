@@ -18,8 +18,25 @@ SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 
 OUT = os.path.join(os.path.dirname(SF1), "CORRECTNESS_sf1.json")
 
 
+def resume_filter(names, recorded):
+    """Names still needing a grade: everything except recorded-OK.
+
+    A recorded ERR/MISMATCH is re-graded (never resume-skipped) so a
+    later code fix can heal the artifact.
+    """
+    return [n for n in names if recorded.get(n, {}).get("status") != "OK"]
+
+
+def error_line(exc: BaseException, tb_text: str) -> str:
+    """Last non-empty traceback line, falling back to repr(exc)."""
+    lines = [l for l in tb_text.splitlines() if l.strip()]
+    return lines[-1] if lines else repr(exc)
+
+
 def main() -> None:
-    names = sys.argv[1:]
+    args = sys.argv[1:]
+    force = "--force" in args  # re-grade even recorded-OK names
+    names = [a for a in args if a != "--force"]
     from pyspark.sql import SparkSession
 
     spark = (
@@ -44,7 +61,12 @@ def main() -> None:
     doc = json.load(open(OUT))
     if os.path.exists(OUT + ".inc"):  # recover a crashed/killed run
         doc["queries"].update(json.load(open(OUT + ".inc")))
-    names = [n for n in names if n not in doc["queries"]]  # resume
+    # Resume-skip ONLY names whose recorded grade is OK: a previously
+    # recorded ERR/MISMATCH must be re-graded, otherwise a code fix can
+    # never heal the artifact (r08: lorenz_curve_deciles stayed "ERR: "
+    # forever after the overflow fix landed).
+    if not force:
+        names = resume_filter(names, doc["queries"])
     for qi, name in enumerate(names):
         if qi and qi % 20 == 0:
             # a long-lived DuckDB connection accumulates buffers across
@@ -66,11 +88,9 @@ def main() -> None:
                 "status": "OK" if not problems else "MISMATCH: " + " | ".join(problems),
                 "spark_rows": rows,
             }
-        except Exception:
-            doc["queries"][name] = {
-                "status": "ERR: " + traceback.format_exc().splitlines()[-1],
-                "spark_rows": None,
-            }
+        except Exception as exc:
+            msg = error_line(exc, traceback.format_exc())
+            doc["queries"][name] = {"status": "ERR: " + msg, "spark_rows": None}
         print(name, doc["queries"][name], flush=True)
         with open(OUT + ".inc", "w") as f:  # incremental checkpoint
             json.dump(doc["queries"], f)
@@ -84,6 +104,10 @@ def main() -> None:
     }
     with open(OUT, "w") as f:
         json.dump(doc, f, indent=1)
+    if os.path.exists(OUT + ".inc"):
+        # a completed run's grades are all in OUT; a lingering .inc
+        # would resurrect THIS run's mid-sweep grades into a future run
+        os.remove(OUT + ".inc")
     print(json.dumps(doc["summary"]))
     spark.stop()
 
