@@ -7,10 +7,10 @@ training-data-pipeline extension. ``decode_image`` sniffs the
 container and dispatches to REAL stdlib-only decoders for PPM (header
 tokenizer + raw RGB24), PNG (chunk walk with CRC-32 verification, zlib
 inflate, scanline unfilter), baseline JPEG (marker walk, canonical
-Huffman, dequant, IDCT — operators/jpeg.py), and WAV (RIFF PCM16);
-only formats that truly need external codec libraries (GIF/H.264 — no
-PIL/opencv/av in this container) raise ``NotImplementedError`` at that
-seam.
+Huffman, dequant, IDCT — operators/jpeg.py), GIF (LZW + palette,
+interlace — operators/gif.py), and WAV (RIFF PCM16); only video
+(H.264 — no PIL/opencv/av in this container) raises
+``NotImplementedError`` at that seam.
 Everything Spark-side — binary schema, mapInPandas batch iteration,
 1→N frame expansion, typed ``array<double>`` feature output — is real
 and tested.
@@ -73,10 +73,11 @@ def sniff_format(data: bytes) -> str:
 def decode_image(data: bytes):
     """Real codec entry point: sniff the container and dispatch to the
     stdlib-only decoders (P6 PPM, PNG with filters 0-2, baseline
-    sequential JPEG — operators/jpeg.py). Formats that genuinely
-    require external libraries (GIF's LZW variants in full generality,
-    H.264 video) raise NotImplementedError — wire PIL/av at this seam
-    and keep the (width, height, uint8 (h, w, 3)) return contract."""
+    sequential JPEG — operators/jpeg.py, GIF87a/89a with full LZW —
+    operators/gif.py). Only video (H.264/H.265 etc.) genuinely
+    requires external libraries and raises NotImplementedError — wire
+    PyAV at this seam and keep the (width, height, uint8 (h, w, 3))
+    return contract."""
     fmt = sniff_format(data)
     if fmt == "ppm":
         return decode_ppm(data)
@@ -86,11 +87,15 @@ def decode_image(data: bytes):
         from matt3r_data_ingestion_serverless_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if fmt == "gif":
+        from matt3r_data_ingestion_serverless_spark.operators.gif import decode_gif
+
+        return decode_gif(data)
     raise NotImplementedError(
         f"decode_image: container {fmt!r} needs a codec library not "
-        "present in this environment (PIL/opencv/av); PPM, PNG and "
-        "baseline JPEG are decoded stdlib-only above — extend the "
-        "dispatch here and keep the (w, h, pixels) contract"
+        "present in this environment (PIL/opencv/av); PPM, PNG, "
+        "baseline JPEG and GIF are decoded stdlib-only above — extend "
+        "the dispatch here and keep the (w, h, pixels) contract"
     )
 
 
@@ -682,10 +687,37 @@ def synth_jpeg(doc_id: int) -> bytes:
     return encode_jpeg(np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1))
 
 
+def _gif_dims(doc_id: int) -> tuple[int, int]:
+    return 10 + doc_id % 6, 7 + doc_id % 5
+
+
+def synth_gif(doc_id: int) -> bytes:
+    """Deterministic palette image as a real GIF89a: pixel index
+    (x, y) = (id·19 + y·5 + x·3) mod 256 over a 256-entry palette
+    whose channels are arithmetic in the index — palette[i] =
+    ((i·3) mod 256, (i·5+1) mod 256, (i·7+2) mod 256) — so the DuckDB
+    oracle regenerates the DECODED pixels purely arithmetically. GIF
+    is lossless, so unlike synth_jpeg no special bit-exact regime is
+    needed; the file still exercises the full LZW variable-width
+    dictionary machinery (operators/gif.py)."""
+    import numpy as np
+
+    from matt3r_data_ingestion_serverless_spark.operators.gif import encode_gif
+
+    w, h = _gif_dims(doc_id)
+    y, x = np.ogrid[0:h, 0:w]
+    idx = ((doc_id * 19 + y * 5 + x * 3) % 256).astype(np.uint8)
+    i = np.arange(256, dtype=np.int64)
+    palette = np.stack(
+        [(i * 3) % 256, (i * 5 + 1) % 256, (i * 7 + 2) % 256], axis=1
+    ).astype(np.uint8)
+    return encode_gif(idx, palette)
+
+
 def mixed_image_features(df: DataFrame) -> DataFrame:
     """(doc_id) → decoded-pixel aggregates of a MIXED-format corpus
-    through the :func:`decode_image` dispatcher: doc_id % 3 routes to
-    P6 PPM / PNG / baseline JPEG, and every blob goes through
+    through the :func:`decode_image` dispatcher: doc_id % 4 routes to
+    P6 PPM / PNG / baseline JPEG / GIF, and every blob goes through
     sniff_format → decode_image with no per-row format hint — exactly
     what a real multimodal ingest faces when the object store holds
     heterogeneous containers. Same executor-side contract as the
@@ -702,7 +734,7 @@ def mixed_image_features(df: DataFrame) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"].astype("int64"):
                 d = int(doc_id)
-                blob = (synth_ppm, synth_png, synth_jpeg)[d % 3](d)
+                blob = (synth_ppm, synth_png, synth_jpeg, synth_gif)[d % 4](d)
                 fmt = sniff_format(blob)
                 w, h, px = decode_image(blob)
                 v = px.astype(np.int64)

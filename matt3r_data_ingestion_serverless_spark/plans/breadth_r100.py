@@ -17,13 +17,16 @@ from matt3r_data_ingestion_serverless_spark.sources.tables import load_table, sp
 _MIXED_SQL = """
 WITH d AS (
   SELECT doc_id,
-         CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' ELSE 'jpeg' END AS fmt,
-         CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 5
+         CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+                         WHEN 2 THEN 'jpeg' ELSE 'gif' END AS fmt,
+         CASE doc_id % 4 WHEN 0 THEN 8 + doc_id % 5
                          WHEN 1 THEN 9 + doc_id % 4
-                         ELSE 8 * (2 + doc_id % 3) END AS w,
-         CASE doc_id % 3 WHEN 0 THEN 6 + doc_id % 3
+                         WHEN 2 THEN 8 * (2 + doc_id % 3)
+                         ELSE 10 + doc_id % 6 END AS w,
+         CASE doc_id % 4 WHEN 0 THEN 6 + doc_id % 3
                          WHEN 1 THEN 5 + doc_id % 4
-                         ELSE 8 * (1 + doc_id % 2) END AS h
+                         WHEN 2 THEN 8 * (1 + doc_id % 2)
+                         ELSE 7 + doc_id % 5 END AS h
   FROM documents
 ),
 s AS (SELECT doc_id, fmt, w, h, unnest(range(0, w * h * 3)) AS i FROM d),
@@ -37,6 +40,14 @@ p AS (
               THEN (doc_id * 7 + y * 13 + x * 5 + c * 29) % 256
               WHEN 'png'
               THEN (doc_id * 11 + y * 3 + x * 7 + c * 19) % 256
+              WHEN 'gif'
+              -- gif: palette index idx = (id*19 + y*5 + x*3) % 256;
+              -- channel value is arithmetic in idx (synth_gif palette)
+              THEN CASE c
+                   WHEN 0 THEN (((doc_id * 19 + y * 5 + x * 3) % 256) * 3) % 256
+                   WHEN 1 THEN (((doc_id * 19 + y * 5 + x * 3) % 256) * 5 + 1) % 256
+                   ELSE        (((doc_id * 19 + y * 5 + x * 3) % 256) * 7 + 2) % 256
+                   END
               -- jpeg: grayscale, constant per 8x8 block, channel-free
               ELSE (doc_id * 13 + (y // 8) * 31 + (x // 8) * 17) % 256
          END AS pv
@@ -57,12 +68,13 @@ FROM p GROUP BY doc_id
 def mm_mixed_format_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heterogeneous-container ingest (operators/multimodal.py:
     sniff_format/decode_image/mixed_image_features): every blob is
-    routed by MAGIC BYTES alone — doc_id % 3 arrives as P6 PPM, PNG
-    (zlib + CRC-32 + scanline filters), or baseline JPEG (marker walk +
+    routed by MAGIC BYTES alone — doc_id % 4 arrives as P6 PPM, PNG
+    (zlib + CRC-32 + scanline filters), baseline JPEG (marker walk +
     canonical Huffman + dequant + IDCT, operators/jpeg.py; the corpus
     images are constant per 8x8 block with a unit quant table, the
-    regime where the lossy codec is bit-exact), and decode_image picks
-    the decoder with no per-row format hint. The graded columns are
+    regime where the lossy codec is bit-exact), or GIF (variable-width
+    LZW + palette, operators/gif.py — lossless, so no special regime),
+    and decode_image picks the decoder with no per-row format hint. The graded columns are
     integer-exact aggregates of the DECODED pixels of all three formats
     in one pass; the oracle regenerates each format's pixels
     arithmetically, so a mis-sniff (wrong decoder per row) or any

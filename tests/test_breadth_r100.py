@@ -44,7 +44,9 @@ def test_decode_image_dispatches_by_content():
 
 
 def test_decode_image_raises_only_for_external_codecs():
-    with pytest.raises(NotImplementedError, match="gif"):
+    # gif now dispatches to a real decoder (operators/gif.py): garbage
+    # after the magic is a loud ValueError, never NotImplementedError
+    with pytest.raises(ValueError):
         decode_image(b"GIF89a" + b"\x00" * 32)
     with pytest.raises(NotImplementedError, match="unknown"):
         decode_image(b"not an image")
@@ -58,16 +60,19 @@ def test_decode_image_raises_only_for_external_codecs():
 
 
 def test_mixed_format_decode_matches_python(spark):
-    from matt3r_data_ingestion_serverless_spark.operators.multimodal import synth_jpeg
+    from matt3r_data_ingestion_serverless_spark.operators.multimodal import (
+        synth_gif,
+        synth_jpeg,
+    )
 
     rows = mm_mixed_format_decode(spark, SF_SMOKE).collect()
     docs = {d.doc_id for d in load_table(spark, SF_SMOKE, "documents").collect()}
     assert {r.doc_id for r in rows} == docs
     fmts = {r.fmt for r in rows}
-    assert fmts == {"ppm", "png", "jpeg"}
-    for r in rows[:30]:
-        blob = (synth_ppm, synth_png, synth_jpeg)[r.doc_id % 3](r.doc_id)
-        assert r.fmt == ("ppm", "png", "jpeg")[r.doc_id % 3]
+    assert fmts == {"ppm", "png", "jpeg", "gif"}
+    for r in rows[:40]:
+        blob = (synth_ppm, synth_png, synth_jpeg, synth_gif)[r.doc_id % 4](r.doc_id)
+        assert r.fmt == ("ppm", "png", "jpeg", "gif")[r.doc_id % 4]
         w, h, px = decode_image(blob)
         v = px.astype(np.int64)
         flat = v.reshape(-1)
