@@ -151,19 +151,36 @@ def counter_rollover_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BAND_CENTS = 100  # $1
 
+# The oracle uses the same 3-bucket equi-join decomposition as the
+# Spark plan (hash-joinable, O(n·density)) rather than the plain
+# BETWEEN θ-join: DuckDB's IEJoin picks TWO of the three inequality
+# conditions as its sort pair and happened to pick (cents <=, k >) —
+# materializing ~n²/4 candidate pairs before the band filter, which
+# turned the sf1 oracle (1.5M orders) into an hours-long grind. The
+# decomposition is trivially equivalent: every |Δcents| <= 100 pair
+# shares a bucket within ±1 of cents div 100, and the exact band +
+# key-order predicates are re-applied after the equi-join.
 _BAND_SQL = f"""
 WITH o AS (
   SELECT o_orderkey AS k, o_orderstatus AS st,
          CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
   FROM orders
-)
-SELECT a.st AS status_a, b.st AS status_b,
+),
+a AS (
+  SELECT k, st, cents,
+         unnest([cents // {_BAND_CENTS} - 1,
+                 cents // {_BAND_CENTS},
+                 cents // {_BAND_CENTS} + 1]) AS bucket
+  FROM o
+),
+b AS (SELECT k AS kb, st AS stb, cents AS cents_b,
+             cents // {_BAND_CENTS} AS bucket FROM o)
+SELECT a.st AS status_a, b.stb AS status_b,
        count(*) AS n_pairs,
-       CAST(min(abs(a.cents - b.cents)) AS BIGINT) AS min_diff,
-       CAST(max(abs(a.cents - b.cents)) AS BIGINT) AS max_diff
-FROM o a JOIN o b
-  ON b.cents BETWEEN a.cents - {_BAND_CENTS} AND a.cents + {_BAND_CENTS}
- AND a.k < b.k
+       CAST(min(abs(a.cents - b.cents_b)) AS BIGINT) AS min_diff,
+       CAST(max(abs(a.cents - b.cents_b)) AS BIGINT) AS max_diff
+FROM a JOIN b USING (bucket)
+WHERE b.kb > a.k AND abs(a.cents - b.cents_b) <= {_BAND_CENTS}
 GROUP BY 1, 2
 """
 
