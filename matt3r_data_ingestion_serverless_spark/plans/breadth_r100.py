@@ -352,6 +352,10 @@ def _zsignals_table(spark: SparkSession, sf_dir: str):
         "user_id",
         dev_hash.alias("device_hash"),
         ts_sec.alias("ts_sec"),
+        # exact event time survives into the silver layout so temporal
+        # operators (j22's W2 sessionization) reproduce the flat-layout
+        # result bit-for-bit; clustering/stats still use ts_sec
+        F.unix_micros("ts").alias("ts_us"),
         "event_type",
         "value",
     )
@@ -483,3 +487,104 @@ def j21_metadata_count_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) + F.lit(full_rows)).cast("long").alias("n_rows")
     )
     return res
+
+
+# ---------------------------------------------------------------------------
+# z-ordered SILVER layout under a temporal operator (VERDICT r08 #7)
+# ---------------------------------------------------------------------------
+
+def _j22_sql() -> str:
+    from matt3r_data_ingestion_serverless_spark.plans.telemetry import (
+        STATIONARY_MIN_DUR_S,
+        STATIONARY_THRESHOLD,
+        STATIONARY_TRIM_S,
+    )
+
+    trim_us = int(STATIONARY_TRIM_S * 1e6)
+    min_us = int(STATIONARY_MIN_DUR_S * 1e6)
+    return f"""
+WITH f AS (
+  SELECT user_id, ts, value FROM events
+  WHERE user_id IN {_ZSIG_DEVICES}
+    AND ts >= TIMESTAMP '{_ZSIG_T0}' AND ts < TIMESTAMP '{_ZSIG_T1}'
+),
+z AS (
+  SELECT user_id, ts,
+         CASE WHEN value <= {STATIONARY_THRESHOLD} THEN 1 ELSE 0 END AS zz
+  FROM f
+), c AS (
+  SELECT user_id, ts, zz,
+         CASE WHEN zz <> lag(zz, 1, -1) OVER (PARTITION BY user_id ORDER BY ts)
+              THEN 1 ELSE 0 END AS chg
+  FROM z
+), r AS (
+  SELECT user_id, ts, zz,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM c
+), g AS (
+  SELECT user_id, min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+  FROM r WHERE zz = 1 GROUP BY user_id, run_id
+)
+SELECT user_id,
+       s_us + {trim_us} AS start_us,
+       e_us - {trim_us} AS end_us,
+       round((e_us - s_us) / 1e6, 6) AS duration_s
+FROM g
+WHERE e_us - s_us >= {min_us}
+"""
+
+
+def j22_zorder_silver_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 zero-run sessionization for a device cohort, read from the
+    z-clustered SILVER telemetry table instead of the flat events scan
+    (SURVEY §7.2 M6: the silver signals(device, ts) zone ships
+    z-ordered with the scan_any read path under the W1/W2-shaped
+    queries). The cohort's (device-hash point x week) bounds prune the
+    morton-bucketed files as a disjunction; the exact row filter and
+    the SAME stationary_intervals operator as w2_stationary_intervals
+    run on the survivors — the silver layout carries exact ts_us, so
+    the intervals are bit-identical to the flat-layout plan
+    (tests/test_breadth_r100.py pins equality AND the pruning ratio).
+    The oracle sessionizes the raw events table under the identical
+    cohort/window predicate.
+
+    Scale: this is the reference's W2 inference shaped for 100 TB —
+    per-device weekly sessionization should open O(cohort x z-tiles)
+    files, not the fleet's week (time layout) or each device's full
+    history (device layout); the sessionization work after the prune
+    is proportional to the cohort's rows only."""
+    from pyspark.sql import functions as F
+
+    from matt3r_data_ingestion_serverless_spark.operators.stationary import (
+        stationary_intervals,
+    )
+    from matt3r_data_ingestion_serverless_spark.plans.telemetry import (
+        STATIONARY_MIN_DUR_S,
+        STATIONARY_THRESHOLD,
+        STATIONARY_TRIM_S,
+    )
+
+    tbl, _root, hashes, _ext = _zsignals_table(spark, sf_dir)
+    w0, w1 = _zsig_window()
+    cohort = tbl.scan_any(
+        [{"device_hash": (h, h), "ts_sec": (w0, w1 - 1)} for h in hashes.values()]
+    ).filter(
+        F.col("user_id").isin(*_ZSIG_DEVICES)
+        & (F.col("ts_us") >= w0 * 1_000_000)
+        & (F.col("ts_us") < w1 * 1_000_000)
+    )
+    sig = cohort.select(
+        "user_id", F.timestamp_micros("ts_us").alias("ts"), "value"
+    )
+    return stationary_intervals(
+        sig,
+        key="user_id",
+        ts="ts",
+        speed="value",
+        zero_threshold=STATIONARY_THRESHOLD,
+        min_duration_s=STATIONARY_MIN_DUR_S,
+        trim_s=STATIONARY_TRIM_S,
+    )
+
+
+register("j22_zorder_silver_stationary", _j22_sql())(j22_zorder_silver_stationary)

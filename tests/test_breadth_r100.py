@@ -372,3 +372,70 @@ def test_scan_any_opens_exact_union_of_per_bounds_sets(spark):
     # union read covers at least each individual scan's rows (files
     # shared between bounds are read once but contain all their rows)
     assert tbl.scan_any(bounds_list).count() >= per_scan_rows / len(bounds_list)
+
+
+# -- z-ordered silver layout under W2 (j22) -----------------------------------
+
+
+def test_j22_silver_stationary_equals_flat_layout(spark):
+    """The z-clustered silver read must reproduce the flat-layout W2
+    sessionization BIT-FOR-BIT on the cohort/window (the silver table
+    carries exact ts_us, so there is no resolution loss)."""
+    from pyspark.sql import functions as F
+
+    from matt3r_data_ingestion_serverless_spark.operators.stationary import (
+        stationary_intervals,
+    )
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r100 import (
+        _ZSIG_DEVICES,
+        _zsig_window,
+        j22_zorder_silver_stationary,
+    )
+    from matt3r_data_ingestion_serverless_spark.plans.telemetry import (
+        STATIONARY_MIN_DUR_S,
+        STATIONARY_THRESHOLD,
+        STATIONARY_TRIM_S,
+    )
+
+    got = sorted(
+        (r.user_id, r.start_us, r.end_us, r.duration_s)
+        for r in j22_zorder_silver_stationary(spark, SF_SMOKE).collect()
+    )
+    w0, w1 = _zsig_window()
+    us = F.unix_micros("ts")
+    flat = stationary_intervals(
+        load_table(spark, SF_SMOKE, "events").filter(
+            F.col("user_id").isin(*_ZSIG_DEVICES)
+            & (us >= w0 * 1_000_000)
+            & (us < w1 * 1_000_000)
+        ),
+        key="user_id",
+        ts="ts",
+        speed="value",
+        zero_threshold=STATIONARY_THRESHOLD,
+        min_duration_s=STATIONARY_MIN_DUR_S,
+        trim_s=STATIONARY_TRIM_S,
+    )
+    want = sorted(
+        (r.user_id, r.start_us, r.end_us, r.duration_s) for r in flat.collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_j22_silver_read_prunes_files(spark):
+    """The cohort W2 read opens a strict minority of the silver
+    layout's files (the whole point of shipping the silver zone
+    z-clustered)."""
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r100 import (
+        _ZSIG_FILES,
+        _zsig_window,
+        _zsignals_table,
+    )
+
+    tbl, _root, hashes, _ext = _zsignals_table(spark, SF_SMOKE)
+    w0, w1 = _zsig_window()
+    n_opened, total = tbl.files_scanned_any(
+        [{"device_hash": (h, h), "ts_sec": (w0, w1 - 1)} for h in hashes.values()]
+    )
+    assert total == _ZSIG_FILES
+    assert n_opened <= total // 2, (n_opened, total)
