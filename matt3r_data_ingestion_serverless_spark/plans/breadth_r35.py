@@ -165,21 +165,20 @@ def any_all_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MOBILITY_SQL = """
-WITH monthly AS (
-  SELECT user_id, strftime(ts, '%Y-%m') AS month,
+WITH weekly AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS period,
          sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
-  FROM events GROUP BY user_id, strftime(ts, '%Y-%m')
+  FROM events GROUP BY 1, 2
 ),
 q AS (
-  SELECT user_id, month,
-         ntile(4) OVER (PARTITION BY month ORDER BY cents, user_id) AS quartile
-  FROM monthly
+  SELECT user_id, period,
+         ntile(4) OVER (PARTITION BY period ORDER BY cents, user_id) AS quartile
+  FROM weekly
 ),
 moves AS (
   SELECT a.quartile AS from_q, b.quartile AS to_q
   FROM q a JOIN q b
-    ON a.user_id = b.user_id
-   AND b.month = strftime(CAST(a.month || '-01' AS DATE) + INTERVAL 1 MONTH, '%Y-%m')
+    ON a.user_id = b.user_id AND b.period = a.period + 1
 )
 SELECT from_q, to_q, CAST(count(*) AS BIGINT) AS n_transitions
 FROM moves GROUP BY from_q, to_q
@@ -188,33 +187,43 @@ FROM moves GROUP BY from_q, to_q
 
 @register("quartile_mobility_matrix", _MOBILITY_SQL)
 def quartile_mobility_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Month-over-month spend-quartile mobility matrix — how users move
-    between value quartiles across consecutive months, the
-    income-mobility / engagement-tier analysis. ntile(4) ranks on
-    (cents, user_id) so bucket edges are total-ordered and identical in
-    both engines (ntile's front-loaded remainder rule is shared SQL
-    semantics); the consecutive-month pairing is a self-equi-join on
-    (user, next-month). Aggregate-first: quartiles and the join run on
-    the user×month rollup, never raw events."""
+    """Period-over-period spend-quartile mobility matrix — how users
+    move between value quartiles across consecutive periods, the
+    income-mobility / engagement-tier analysis. The period is an
+    ABSOLUTE 7-day bucket (epoch_us div one-week-of-micros): exact
+    integer arithmetic in both engines, and — unlike the original
+    calendar-month version — multiple periods exist inside the
+    synthetic corpus's single-month span (month-over-month was
+    structurally 0 rows at EVERY sf; the round-9 sf1 sweep flagged
+    it). ntile(4) ranks on (cents, user_id) so bucket edges are
+    total-ordered and identical in both engines (ntile's front-loaded
+    remainder rule is shared SQL semantics); consecutive-period
+    pairing is a self-equi-join on (user, period+1). Aggregate-first:
+    quartiles and the join run on the user x period rollup, never raw
+    events."""
     ev = load_table(spark, sf_dir, "events")
-    monthly = ev.groupBy("user_id", F.date_format("ts", "yyyy-MM").alias("month")).agg(
+    period = F.expr("unix_micros(ts) div 604800000000")  # exact int div
+    weekly = ev.groupBy("user_id", period.alias("period")).agg(
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
     )
-    q = monthly.select(
+    q = weekly.select(
         "user_id",
-        "month",
+        "period",
         F.ntile(4)
-        .over(Window.partitionBy("month").orderBy("cents", "user_id"))
+        .over(Window.partitionBy("period").orderBy("cents", "user_id"))
         .alias("quartile"),
     )
-    nxt = F.date_format(
-        F.add_months(F.to_date(F.concat(F.col("month"), F.lit("-01"))), 1), "yyyy-MM"
-    )
     a = q.select(
-        F.col("user_id").alias("uid"), nxt.alias("next_month"), F.col("quartile").alias("from_q")
+        F.col("user_id").alias("uid"),
+        (F.col("period") + 1).alias("next_period"),
+        F.col("quartile").alias("from_q"),
     )
     b = q.select(
-        F.col("user_id").alias("uid"), F.col("month").alias("next_month"), F.col("quartile").alias("to_q")
+        F.col("user_id").alias("uid"),
+        F.col("period").alias("next_period"),
+        F.col("quartile").alias("to_q"),
     )
-    moves = a.join(b, ["uid", "next_month"])
-    return moves.groupBy("from_q", "to_q").agg(F.count("*").cast("long").alias("n_transitions"))
+    moves = a.join(b, ["uid", "next_period"])
+    return moves.groupBy("from_q", "to_q").agg(
+        F.count("*").cast("long").alias("n_transitions")
+    )

@@ -244,15 +244,21 @@ WITH partval AS (
 )
 SELECT l_partkey AS partkey, CAST(val AS DOUBLE) AS part_value
 FROM partval
-WHERE val > (SELECT sum(val) * 0.002 FROM partval)
+WHERE val > (SELECT sum(val) * 2.0 / count(*) FROM partval)
 """,
 )
 def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H q11 shape — groups whose value exceeds a fraction of the
-    GLOBAL total (HAVING against a scalar subquery over the same
-    derived table). Spark-first: the per-part aggregate is computed
-    once and reused for both the threshold (1-row re-aggregate,
-    broadcast cross-join) and the filter — no second scan of lineitem."""
+    """TPC-H q11 shape — groups whose value exceeds a threshold derived
+    from a scalar subquery over the same derived table (HAVING against
+    the global aggregate). TPC-H's FRACTION is spec-scaled as
+    0.0001/SF precisely because a FIXED fraction starves as the part
+    count grows — our original 0.002 returned 0 rows at sf1 (found by
+    the round-9 sf1 sweep). The scale-free equivalent: "important" =
+    value above 2x the MEAN per-part value, which flags the same
+    heavy-tail parts at every SF. Spark-first: the per-part aggregate
+    is computed once and reused for both the threshold (1-row
+    re-aggregate, broadcast cross-join) and the filter — no second
+    scan of lineitem."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -264,7 +270,7 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("val"))
     )
-    thresh = partval.agg((F.sum("val") * 0.002).alias("cut"))
+    thresh = partval.agg((F.sum("val") * 2.0 / F.count(F.lit(1))).alias("cut"))
     return (
         partval.crossJoin(F.broadcast(thresh))
         .filter(F.col("val") > F.col("cut"))

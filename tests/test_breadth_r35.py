@@ -95,24 +95,27 @@ def _ntile4(ordered_ids):
 
 
 def test_mobility_matrix_matches_python(spark):
+    from datetime import timezone
+
     ev = load_table(spark, SF_SMOKE, "events").collect()
-    monthly = defaultdict(lambda: defaultdict(int))
+    weekly = defaultdict(lambda: defaultdict(int))
     for r in ev:
-        monthly[r.ts.strftime("%Y-%m")][r.user_id] += int(math.floor(r.value * 100 + 0.5))
+        us = int(r.ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+        weekly[us // 604_800_000_000][r.user_id] += int(
+            math.floor(r.value * 100 + 0.5)
+        )
     quart = {}
-    for m, users in monthly.items():
+    for p, users in weekly.items():
         ordered = [u for u, _ in sorted(users.items(), key=lambda kv: (kv[1], kv[0]))]
-        quart[m] = _ntile4(ordered)
-    months = sorted(quart)
+        quart[p] = _ntile4(ordered)
     moves = Counter()
-    for m, nxt in zip(months, months[1:]):
-        y, mm = int(m[:4]), int(m[5:])
-        expected_next = f"{y + mm // 12:04d}-{mm % 12 + 1:02d}"
-        if nxt != expected_next:
+    for p in sorted(quart):
+        if p + 1 not in quart:
             continue
-        for uid, q in quart[m].items():
-            if uid in quart[nxt]:
-                moves[(q, quart[nxt][uid])] += 1
+        for uid, q in quart[p].items():
+            if uid in quart[p + 1]:
+                moves[(q, quart[p + 1][uid])] += 1
+    assert moves, "fixture spans multiple 7-day periods"
     got = {
         (r.from_q, r.to_q): r.n_transitions
         for r in quartile_mobility_matrix(spark, SF_SMOKE).collect()
