@@ -51,7 +51,12 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.sf1data"
-SCALE = 10
+# SCALE 10 = sf1 (the default, byte-identical to the round-5 fixtures);
+# SCALE 100 = sf10 for the magnitude-prone sweep (VERDICT r08 #4) —
+# relational + events scale linearly, documents/embeddings stay at the
+# oracle-bounded sf1 sizes (they are not in the magnitude family).
+SCALE = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+MULT = SCALE // 10
 rng = np.random.default_rng(4242)
 
 DAY_US = 86_400_000_000
@@ -78,8 +83,9 @@ def main() -> None:
         tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
         write(t, tb)
 
-    n_cust, n_supp, n_part = 150_000, 10_000, 200_000
-    n_orders, n_events = 1_500_000, 1_000_000
+    n_cust, n_supp, n_part = 150_000 * MULT, 10_000 * MULT, 200_000 * MULT
+    n_orders, n_events = 1_500_000 * MULT, 1_000_000 * MULT
+    n_users = 15_000 * MULT
     n_docs, n_vecs = 20_000, 6_000
 
     # customer -----------------------------------------------------------
@@ -206,7 +212,7 @@ def main() -> None:
             {
                 "event_id": pa.array(np.arange(n_events), pa.int64()),
                 "ts": ts_us(ev_ts),
-                "user_id": pa.array(rng.integers(0, 15_000, n_events), pa.int64()),
+                "user_id": pa.array(rng.integers(0, n_users, n_events), pa.int64()),
                 "event_type": etypes[rng.integers(0, 5, n_events)],
                 "value": np.round(rng.exponential(50.0, n_events), 2),
                 "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_events)],
