@@ -8,9 +8,11 @@ container and dispatches to REAL stdlib-only decoders for PPM (header
 tokenizer + raw RGB24), PNG (chunk walk with CRC-32 verification, zlib
 inflate, scanline unfilter), baseline JPEG (marker walk, canonical
 Huffman, dequant, IDCT — operators/jpeg.py), GIF (LZW + palette,
-interlace — operators/gif.py), and WAV (RIFF PCM16); only video
-(H.264 — no PIL/opencv/av in this container) raises
-``NotImplementedError`` at that seam.
+interlace — operators/gif.py), and WAV (RIFF PCM16); ``decode_video``
+(operators/video.py) handles MJPEG-in-AVI — a RIFF chunk walk whose
+frames are independent baseline JPEGs — with frame sampling inside the
+codec seam. Only INTER-FRAME video codecs (H.264/H.265/VP9 — no
+PIL/opencv/av in this container) raise ``NotImplementedError``.
 Everything Spark-side — binary schema, mapInPandas batch iteration,
 1→N frame expansion, typed ``array<double>`` feature output — is real
 and tested.
@@ -63,6 +65,8 @@ def sniff_format(data: bytes) -> str:
         return "png"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if data[:6] in (b"GIF87a", b"GIF89a"):
@@ -92,10 +96,13 @@ def decode_image(data: bytes):
 
         return decode_gif(data)
     raise NotImplementedError(
-        f"decode_image: container {fmt!r} needs a codec library not "
-        "present in this environment (PIL/opencv/av); PPM, PNG, "
-        "baseline JPEG and GIF are decoded stdlib-only above — extend "
-        "the dispatch here and keep the (w, h, pixels) contract"
+        f"decode_image: container {fmt!r} is not a still image this "
+        "dispatch decodes (PPM, PNG, baseline JPEG and GIF are decoded "
+        "stdlib-only above; MJPEG-AVI video decodes via "
+        "operators/video.py decode_video); inter-frame video codecs "
+        "(H.264/H.265/VP9) need a codec library not present in this "
+        "environment (PIL/opencv/av) — extend the dispatch here and "
+        "keep the (w, h, pixels) contract"
     )
 
 
@@ -765,3 +772,87 @@ def mixed_image_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id").mapInPandas(gen, MIXED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-AVI video: container walk + per-frame JPEG decode + frame sampling
+# ---------------------------------------------------------------------------
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sum_rgb", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def _avi_dims(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) — dims multiples of 8 (the JPEG
+    exact-round-trip precondition), 3..5 frames."""
+    return 8 * (2 + doc_id % 3), 8 * (1 + doc_id % 2), 3 + doc_id % 3
+
+
+def synth_avi(doc_id: int) -> bytes:
+    """A deterministic MJPEG AVI: frame k is grayscale, constant per
+    8x8 block — block (by, bx) = (id·13 + k·7 + by·31 + bx·17) mod
+    256 — each frame a REAL baseline JPEG with a unit quant table (the
+    bit-exact regime synth_jpeg documents), wrapped in a spec-correct
+    RIFF/AVI container (operators/video.py)."""
+    import numpy as np
+
+    from matt3r_data_ingestion_serverless_spark.operators.jpeg import encode_jpeg
+    from matt3r_data_ingestion_serverless_spark.operators.video import (
+        encode_avi_mjpeg,
+    )
+
+    w, h, nf = _avi_dims(doc_id)
+    by, bx = np.ogrid[0 : h // 8, 0 : w // 8]
+    frames = []
+    for k in range(nf):
+        blocks = ((doc_id * 13 + k * 7 + by * 31 + bx * 17) % 256).astype(np.uint8)
+        frames.append(encode_jpeg(np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)))
+    return encode_avi_mjpeg(frames, w, h, fps=10)
+
+
+def video_frame_summaries(df: DataFrame, sample_every: int = 2) -> DataFrame:
+    """(doc_id) → one row per SAMPLED frame of a synthetic MJPEG AVI:
+    (doc_id, frame_idx, n_frames, sum_rgb, checksum) of the decoded
+    pixels. Frame sampling happens inside the codec seam
+    (operators/video.py decode_video) so skipped frames are never
+    pixel-decoded — the shape a 100 TB video-curation pass needs.
+    Arrow-batched mapInPandas like every sibling: blobs and pixels
+    stay executor-side, only 5-column summary rows shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from matt3r_data_ingestion_serverless_spark.operators.video import (
+            decode_video,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                d = int(doc_id)
+                blob = synth_avi(d)
+                assert sniff_format(blob) == "avi"
+                _w, _h, nf = _avi_dims(d)
+                _W, _H, px = decode_video(blob, sample_every=sample_every)
+                for j in range(px.shape[0]):
+                    v = px[j].astype(np.int64)
+                    flat = v.reshape(-1)
+                    i1 = np.arange(1, flat.size + 1, dtype=np.int64)
+                    rows.append(
+                        (d, j * sample_every, nf, int(flat.sum()), int((flat * i1).sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "n_frames", "sum_rgb", "checksum"],
+            )
+
+    return df.select("doc_id").mapInPandas(gen, VIDEO_SCHEMA)

@@ -588,3 +588,60 @@ def j22_zorder_silver_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("j22_zorder_silver_stationary", _j22_sql())(j22_zorder_silver_stationary)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-AVI video decode with in-seam frame sampling (round 9)
+# ---------------------------------------------------------------------------
+
+_VIDEO_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         8 * (2 + doc_id % 3) AS w,
+         8 * (1 + doc_id % 2) AS h,
+         3 + doc_id % 3 AS nf
+  FROM documents
+),
+fr AS (SELECT doc_id, w, h, nf, unnest(range(0, nf, 2)) AS k FROM d),
+s AS (SELECT doc_id, w, h, nf, k, unnest(range(0, w * h * 3)) AS i FROM fr),
+p AS (
+  SELECT doc_id, nf, k, i,
+         (doc_id * 13 + k * 7
+          + ((i // (3 * w)) // 8) * 31
+          + (((i // 3) % w) // 8) * 17) % 256 AS pv
+  FROM s
+)
+SELECT doc_id,
+       CAST(k AS INT) AS frame_idx,
+       CAST(any_value(nf) AS INT) AS n_frames,
+       CAST(sum(pv) AS BIGINT) AS sum_rgb,
+       CAST(sum(pv * (i + 1)) AS BIGINT) AS checksum
+FROM p GROUP BY doc_id, k
+"""
+
+
+@register("mm_video_mjpeg_sample", _VIDEO_SQL)
+def mm_video_mjpeg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-in-AVI video decode with IN-SEAM frame sampling
+    (operators/video.py + operators/multimodal.py synth_avi /
+    video_frame_summaries): each document arrives as a real AVI (RIFF
+    chunk walk, avih/strh/strf headers, movi '00dc' frames) whose 3-5
+    frames are independent baseline JPEGs in the bit-exact
+    constant-block regime; every SECOND frame is decoded (sampled
+    frames never pay pixel decode — at 100 TB the sampling rate IS the
+    compute bill) and the graded columns are integer-exact aggregates
+    of the decoded pixels. The oracle regenerates each sampled frame's
+    pixels arithmetically, so a container mis-walk, a frame-order bug,
+    a sampling off-by-one, or any JPEG decode fault breaks the hash.
+    Inter-frame codecs (H.264) remain honestly out of scope at the
+    decode_video seam.
+
+    Scale: pure map-side like every codec sibling — container walk,
+    frame extraction, JPEG decode and reduction run inside the Arrow
+    batch; only 5-column per-frame summary rows shuffle."""
+    from matt3r_data_ingestion_serverless_spark.operators.multimodal import (
+        video_frame_summaries,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return video_frame_summaries(docs, sample_every=2)
