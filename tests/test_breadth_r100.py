@@ -29,6 +29,9 @@ def test_sniff_format_magic_bytes():
     assert sniff_format(synth_wav(6)) == "wav"
     assert sniff_format(b"\xff\xd8\xff\xe0" + b"\x00" * 16) == "jpeg"
     assert sniff_format(b"GIF89a" + b"\x00" * 16) == "gif"
+    from matt3r_data_ingestion_serverless_spark.operators.multimodal import synth_avi
+
+    assert sniff_format(synth_avi(3)) == "avi"
     assert sniff_format(b"plain text") == "unknown"
     assert sniff_format(b"") == "unknown"
 
