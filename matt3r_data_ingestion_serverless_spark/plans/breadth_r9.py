@@ -141,7 +141,13 @@ def counter_rollover_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("user_id").agg(
         F.count("*").alias("n_samples"),
         F.sum(corrected).cast("long").alias("total_delta"),
-        F.sum((F.col("delta") < 0).cast("int")).cast("long").alias("n_rollovers"),
+        # NULL-safe: a user with exactly ONE sample has only a NULL
+        # delta, and sum((delta<0).cast) over an all-NULL group is NULL
+        # while the oracle's CASE sums 0 — such singleton users first
+        # appear at sf10's user count (found by the round-9 sf10 sweep)
+        F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rollovers"),
     )
 
 

@@ -82,7 +82,13 @@ def compare(spark_df, con, sql: str) -> list[str]:
     s_norm = sorted((tuple(_norm(r[i]) for i in order) for r in spark_rows), key=sort_key)
     d_norm = sorted((tuple(_norm(r[i]) for i in dorder) for r in duck_rows), key=sort_key)
     if s_norm != d_norm:
-        only_s = [r for r in s_norm if r not in set(map(tuple, d_norm))][:3]
-        only_d = [r for r in d_norm if r not in set(map(tuple, s_norm))][:3]
+        # hoist the membership sets OUT of the comprehensions: inside
+        # the `if` they were rebuilt per row — a 150k-row mismatch spun
+        # for 40+ minutes (found when the sf10 sweep hit its first
+        # value diff) instead of milliseconds
+        d_set = set(map(tuple, d_norm))
+        s_set = set(map(tuple, s_norm))
+        only_s = [r for r in s_norm if r not in d_set][:3]
+        only_d = [r for r in d_norm if r not in s_set][:3]
         problems.append(f"values differ; spark-only sample={only_s} duck-only sample={only_d}")
     return problems
