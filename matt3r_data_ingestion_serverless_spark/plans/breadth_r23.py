@@ -172,16 +172,16 @@ def ns_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg; everything exact-integer except the rounded mean."""
     from matt3r_data_ingestion_serverless_spark.functions import hashing
     from matt3r_data_ingestion_serverless_spark.plans.northstar import (
-        _minhash_band_structs,
+        _minhash_band_structs_expr,
         _with_hashed_shingles,
     )
     from matt3r_data_ingestion_serverless_spark.sources.tables import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     d = _with_hashed_shingles(docs).select("doc_id", "sh")
-    s = d.select("doc_id", hashing.minhash_from_hashes(F.col("sh")).alias("sig"))
+    s = d.select("doc_id", hashing.minhash_from_hashes_expr("sh").alias("sig"))
     bk = s.select(
-        "doc_id", F.explode(_minhash_band_structs(F.col("sig"))).alias("bk")
+        "doc_id", F.explode(_minhash_band_structs_expr("sig")).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
     buckets = bk.groupBy("band", "key").agg(F.count("*").alias("sz"))
     return buckets.groupBy(F.col("band").cast("int").alias("band")).agg(

@@ -71,7 +71,7 @@ def ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matt3r_data_ingestion_serverless_spark.plans.northstar import (
         JACCARD_DUP,
         _jaccard,
-        _minhash_band_structs,
+        _minhash_band_structs_expr,
         _pin,
         _with_hashed_shingles,
     )
@@ -79,10 +79,10 @@ def ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     d = _with_hashed_shingles(docs).select("doc_id", "sh")
     s = _pin(
-        d.select("doc_id", "sh", hashing.minhash_from_hashes(F.col("sh")).alias("sig"))
+        d.select("doc_id", "sh", hashing.minhash_from_hashes_expr("sh").alias("sig"))
     )
     bk = s.select(
-        "doc_id", F.explode(_minhash_band_structs(F.col("sig"))).alias("bk")
+        "doc_id", F.explode(_minhash_band_structs_expr("sig")).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
     batch_bk = bk.filter(F.col("doc_id") % 2 == 1)
     corpus_bk = bk.filter(F.col("doc_id") % 2 == 0)

@@ -367,18 +367,18 @@ def ns_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matt3r_data_ingestion_serverless_spark.functions import hashing
     from matt3r_data_ingestion_serverless_spark.plans.northstar import (
         _jaccard,
-        _minhash_band_structs,
+        _minhash_band_structs_expr,
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     d = _with_hashed_shingles(docs).select("doc_id", "sh")
     s = _pin(
         d.select(
-            "doc_id", "sh", hashing.minhash_from_hashes(F.col("sh")).alias("sig")
+            "doc_id", "sh", hashing.minhash_from_hashes_expr("sh").alias("sig")
         )
     )
     bk = s.select(
-        "doc_id", F.explode(_minhash_band_structs(F.col("sig"))).alias("bk")
+        "doc_id", F.explode(_minhash_band_structs_expr("sig")).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
     a, b = bk.alias("a"), bk.alias("b")
     cand = (

@@ -61,24 +61,25 @@ def _with_hashed_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
     accumulators consume these 8-byte ints. Collisions at 2³¹ over ~10²
     shingles/doc are negligible and, being md5-derived, identical in
     the oracle."""
+    # Built as TWO SQL strings parsed JVM-side: the Column-builder
+    # version of this function cost ~0.42 s of py4j round-trips per plan
+    # construction (measured) — pure driver overhead billed to every
+    # timed sample of every shingle-based query. Expressions identical.
     P = hashing.P31
-    staged = df.withColumn(
-        "_th",
-        F.transform(
-            text.tokens(F.col(text_col)), lambda t: hashing.md5_hash64(t) % P
-        ),
+    th = (
+        f"transform(split(lower({text_col}), ' '), "
+        f"t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % {P}L)"
     )
-    k = F.size(F.col("_th")) - (SHINGLE_N - 1)
-
-    def comb(i):
-        th = lambda off: F.element_at(F.col("_th"), i + F.lit(off))  # noqa: E731
-        return ((th(0) * TOKEN_B + th(1)) % P * TOKEN_B + th(2)) % P
-
-    combined = F.transform(F.sequence(F.lit(1), k), comb)
-    sh = F.array_distinct(
-        F.when(k >= 1, combined).otherwise(F.array().cast("array<long>"))
+    comb = (
+        f"((element_at(_th, i) * {TOKEN_B}L + element_at(_th, i + 1)) % {P}L"
+        f" * {TOKEN_B}L + element_at(_th, i + 2)) % {P}L"
     )
-    return staged.withColumn("sh", sh).drop("_th")
+    sh = (
+        f"array_distinct(CASE WHEN size(_th) - {SHINGLE_N - 1} >= 1 "
+        f"THEN transform(sequence(1, size(_th) - {SHINGLE_N - 1}), i -> {comb}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END)"
+    )
+    return df.withColumn("_th", F.expr(th)).withColumn("sh", F.expr(sh)).drop("_th")
 
 
 def _hashed_shingles_cte(table: str = "documents") -> str:
@@ -116,6 +117,18 @@ def _minhash_band_structs(sig):
         key = F.concat_ws("-", F.transform(band, lambda x: x.cast("string")))
         bands.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
     return F.array(*bands)
+
+
+def _minhash_band_structs_expr(sig_expr: str):
+    """SQL-string twin of :func:`_minhash_band_structs` (~2 ms to build
+    instead of ~0.22 s of py4j round-trips; identical expression)."""
+    parts = ", ".join(
+        f"named_struct('band', {b}, 'key', concat_ws('-', "
+        f"transform(slice({sig_expr}, {b * MINHASH_ROWS + 1}, {MINHASH_ROWS}), "
+        f"x -> CAST(x AS STRING))))"
+        for b in range(MINHASH_BANDS)
+    )
+    return F.expr(f"array({parts})")
 
 
 def _pin(df: DataFrame) -> DataFrame:
@@ -192,9 +205,9 @@ def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _with_hashed_shingles(docs).select("doc_id", "sh")
     # pin shingles+signature together: band explode AND the verify
     # join-back both read this one cached stage
-    s = _pin(d.select("doc_id", "sh", hashing.minhash_from_hashes(F.col("sh")).alias("sig")))
+    s = _pin(d.select("doc_id", "sh", hashing.minhash_from_hashes_expr("sh").alias("sig")))
     bk = s.select(
-        "doc_id", F.explode(_minhash_band_structs(F.col("sig"))).alias("bk")
+        "doc_id", F.explode(_minhash_band_structs_expr("sig")).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
     a, b = bk.alias("a"), bk.alias("b")
     cand = (
@@ -251,7 +264,7 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     d = _with_hashed_shingles(docs).select("doc_id", "sh")
     f_ = _pin(
-        d.select("doc_id", hashing.simhash_fingerprint(F.col("sh")).alias("fp"))
+        d.select("doc_id", hashing.simhash_fingerprint_expr("sh").alias("fp"))
     )
     bands = F.array(
         *[
@@ -1032,10 +1045,10 @@ def ns_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     d = _with_hashed_shingles(docs).select("doc_id", "sh")
     s = _pin(
-        d.select("doc_id", "sh", hashing.minhash_from_hashes(F.col("sh")).alias("sig"))
+        d.select("doc_id", "sh", hashing.minhash_from_hashes_expr("sh").alias("sig"))
     )
     bk = s.select(
-        "doc_id", F.explode(_minhash_band_structs(F.col("sig"))).alias("bk")
+        "doc_id", F.explode(_minhash_band_structs_expr("sig")).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
     a, b = bk.alias("a"), bk.alias("b")
     cand = (

@@ -91,11 +91,12 @@ def main() -> None:
     out_rows = []
     for name in names:
         fn, _ = registry[name]
-        try:
-            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass
-        spark.catalog.clearCache()
+        if not args.no_exec:
+            try:
+                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
+            spark.catalog.clearCache()
 
         t0 = time.perf_counter()
         df = fn(spark, args.sf)
