@@ -27,8 +27,22 @@ def as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Left-to-right fold of elementwise products."""
+def _dot_expr_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Left-to-right fold of elementwise products.
+
+    Pass SQL-string column references where possible: the Column-lambda
+    builder costs ~0.05 s of py4j round-trips per plan construction
+    (billed to every timed bench sample and to the driver at any scale);
+    the parsed-string twin builds the identical expression in ~2 ms."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_expr_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -40,7 +54,9 @@ def dot_sql(a: str, b: str) -> str:
     return f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(f"sqrt({_dot_expr_sql(a, a)})")
     return F.sqrt(dot(a, a))
 
 
@@ -48,7 +64,9 @@ def l2_norm_sql(a: str) -> str:
     return f"sqrt({dot_sql(a, a)})"
 
 
-def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+def cosine(
+    a: Column | str, b: Column | str, norm_a: Column, norm_b: Column
+) -> Column:
     """Cosine from a precomputed-norm pair (norms are computed once per
     row before any pair join, never inside the join)."""
     return dot(a, b) / (norm_a * norm_b)
@@ -64,6 +82,14 @@ def srp_band_keys(vec: Column) -> Column:
     Two vectors land in the same bucket of band b iff their signs agree
     on all 8 of that band's dims: P = (1 - theta/pi)^8 per band.
     """
+    if isinstance(vec, str):
+        parts = ", ".join(
+            f"named_struct('band', {b}, 'key', concat_ws('', "
+            f"transform(slice({vec}, {b * SRP_BAND_BITS + 1}, {SRP_BAND_BITS}), "
+            f"x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END)))"
+            for b in range(SRP_BANDS)
+        )
+        return F.expr(f"array({parts})")
     keys = []
     for b in range(SRP_BANDS):
         band = F.slice(vec, b * SRP_BAND_BITS + 1, SRP_BAND_BITS)

@@ -147,7 +147,7 @@ def ns_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = e.select(
         "vec_id",
         "v",
-        vectors.l2_norm(F.col("v")).alias("nrm"),
+        vectors.l2_norm("v").alias("nrm"),
         F.slice(F.col("v"), 1, _MRL_DIMS).alias("tv"),
     ).withColumn(
         "tnrm",
@@ -175,10 +175,10 @@ def ns_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("match_id") != F.col("query_id"))
     full_cos = F.round(
-        vectors.cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+        vectors.cosine("qv", "cv", F.col("qn"), F.col("cn")), 6
     )
     tr_cos = F.round(
-        vectors.cosine(F.col("qtv"), F.col("ctv"), F.col("qtn"), F.col("ctn")), 6
+        vectors.cosine("qtv", "ctv", F.col("qtn"), F.col("ctn")), 6
     )
     scored = pairs.select(
         "query_id", "match_id", full_cos.alias("fc"), tr_cos.alias("tc")
@@ -267,7 +267,7 @@ def ns_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("cn"),
         F.col("label").alias("cand_label"),
     )
-    cs = F.round(vectors.cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6)
+    cs = F.round(vectors.cosine("qv", "cv", F.col("qn"), F.col("cn")), 6)
     ranked = (
         F.broadcast(q)
         .crossJoin(c)

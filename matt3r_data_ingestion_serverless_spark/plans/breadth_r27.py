@@ -474,7 +474,7 @@ def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = e.select(
         "vec_id",
         "v",
-        vectors.l2_norm(F.col("v")).alias("nrm"),
+        vectors.l2_norm("v").alias("nrm"),
         F.slice(F.col("v"), 1, _NDCG_DIMS).alias("tv"),
     ).withColumn(
         "tnrm",
@@ -499,8 +499,8 @@ def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tnrm").alias("ctn"),
     )
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("match_id") != F.col("query_id"))
-    full_cos = round6(vectors.cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
-    tr_cos = round6(vectors.cosine(F.col("qtv"), F.col("ctv"), F.col("qtn"), F.col("ctn")))
+    full_cos = round6(vectors.cosine("qv", "cv", F.col("qn"), F.col("cn")))
+    tr_cos = round6(vectors.cosine("qtv", "ctv", F.col("qtn"), F.col("ctn")))
     scored = pairs.select(
         "query_id",
         "match_id",

@@ -168,9 +168,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def d2u_col():
         d2 = (
-            vectors.dot(F.col("v"), F.col("v"))
-            - F.lit(2.0) * vectors.dot(F.col("v"), F.col("c"))
-            + vectors.dot(F.col("c"), F.col("c"))
+            vectors.dot("v", "v")
+            - F.lit(2.0) * vectors.dot("v", "c")
+            + vectors.dot("c", "c")
         )
         return F.floor(d2 * 1e6 + 0.5).cast("long")
 
@@ -323,9 +323,9 @@ def ns_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
     d2 = (
-        vectors.dot(F.col("v"), F.col("v"))
-        - F.lit(2.0) * vectors.dot(F.col("v"), F.col("c"))
-        + vectors.dot(F.col("c"), F.col("c"))
+        vectors.dot("v", "v")
+        - F.lit(2.0) * vectors.dot("v", "c")
+        + vectors.dot("c", "c")
     )
     j = e.crossJoin(F.broadcast(c0)).select(
         "vec_id", "cid", F.floor(d2 * 1e6 + 0.5).cast("long").alias("d2u")

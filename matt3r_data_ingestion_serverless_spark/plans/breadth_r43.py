@@ -90,7 +90,7 @@ def retrieval_rbo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = e.select(
         "vec_id",
         "v",
-        vectors.l2_norm(F.col("v")).alias("nrm"),
+        vectors.l2_norm("v").alias("nrm"),
         F.slice(F.col("v"), 1, _RBO_DIMS).alias("tv"),
     ).withColumn(
         "tnrm",
@@ -118,8 +118,8 @@ def retrieval_rbo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         "query_id",
         "match_id",
-        round6(vectors.cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))).alias("fc"),
-        round6(vectors.cosine(F.col("qtv"), F.col("ctv"), F.col("qtn"), F.col("ctn"))).alias(
+        round6(vectors.cosine("qv", "cv", F.col("qn"), F.col("cn"))).alias("fc"),
+        round6(vectors.cosine("qtv", "ctv", F.col("qtn"), F.col("ctn"))).alias(
             "tc"
         ),
     )

@@ -111,7 +111,7 @@ def ns_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "label",
         F.floor(
-            vectors.l2_norm(F.col("embedding").cast("array<double>")) * 1e6 + 0.5
+            vectors.l2_norm("CAST(embedding AS ARRAY<DOUBLE>)") * 1e6 + 0.5
         )
         .cast("long")
         .alias("norm_micro"),

@@ -565,7 +565,7 @@ def ns_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("nbr_label"),
     )
     cs = F.round(
-        vectors.cosine(F.col("qv"), F.col("tv"), F.col("qn"), F.col("tn")), 6
+        vectors.cosine("qv", "tv", F.col("qn"), F.col("tn")), 6
     )
     scored = F.broadcast(q).crossJoin(t).select(
         "query_id", "true_label", "nbr_label", "nbr_id", cs.alias("cs")

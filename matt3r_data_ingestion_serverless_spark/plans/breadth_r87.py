@@ -127,7 +127,7 @@ def ns_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     n = (
         emb.select("vec_id", vectors.as_double(F.col("embedding")).alias("v"))
-        .withColumn("nrm", vectors.l2_norm(F.col("v")))
+        .withColumn("nrm", vectors.l2_norm("v"))
         .localCheckpoint(eager=True)
     )
     seed = n.orderBy("vec_id").limit(1).localCheckpoint(eager=True)
@@ -139,7 +139,7 @@ def ns_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     cos = F.round(
-        vectors.cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6
+        vectors.cosine("v", "cv", F.col("nrm"), F.col("cnrm")), 6
     )
     cur = seed
     best = None

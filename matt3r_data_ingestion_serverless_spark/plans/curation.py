@@ -551,7 +551,7 @@ def ns_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.col("qv"), F.lit(0).cast("long"), lambda a, x: a + x).alias(
             "q_checksum"
         ),
-        F.round(F.sqrt(err2) / vectors.l2_norm(F.col("v")), 6).alias("rel_err"),
+        F.round(F.sqrt(err2) / vectors.l2_norm("v"), 6).alias("rel_err"),
         F.round(F.col("scale"), 6).alias("scale"),
     )
 

@@ -377,7 +377,7 @@ def _emb_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     v = vectors.as_double(F.col("embedding"))
     return _pin(
-        emb.select("vec_id", v.alias("v")).withColumn("nrm", vectors.l2_norm(F.col("v")))
+        emb.select("vec_id", v.alias("v")).withColumn("nrm", vectors.l2_norm("v"))
     )
 
 
@@ -433,7 +433,7 @@ def ns_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant is the recall oracle on a subset."""
     n = _emb_normed(spark, sf_dir)
     bk = n.select(
-        "vec_id", F.explode(vectors.srp_band_keys(F.col("v"))).alias("bk")
+        "vec_id", F.explode(vectors.srp_band_keys("v")).alias("bk")
     ).select("vec_id", "bk.band", "bk.key")
     a, b = bk.alias("a"), bk.alias("b")
     cand = (
@@ -453,7 +453,7 @@ def ns_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nrm_b")
     )
     cos = F.round(
-        vectors.cosine(F.col("va"), F.col("vb"), F.col("nrm_a"), F.col("nrm_b")), 6
+        vectors.cosine("va", "vb", F.col("nrm_a"), F.col("nrm_b")), 6
     )
     return (
         cand.join(na, "vec_a")
@@ -490,7 +490,7 @@ def ns_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qnrm"),
     )
     cos = F.round(
-        vectors.cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")), 6
+        vectors.cosine("qv", "v", F.col("qnrm"), F.col("nrm")), 6
     )
     scored = n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id", F.col("vec_id").alias("match_id"), cos.alias("cos_sim")
@@ -538,7 +538,7 @@ def _ivf_scored(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     curve point; _ivf_topk is the single-point view."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     e = emb.select("vec_id", "label", vectors.as_double(F.col("embedding")).alias("v"))
-    n = _pin(e.withColumn("nrm", vectors.l2_norm(F.col("v"))))
+    n = _pin(e.withColumn("nrm", vectors.l2_norm("v")))
     # centroids: per-dim mean via posexplode → (label, i) hash agg → re-assemble
     pos = e.select("label", F.posexplode("v").alias("i", "x"))
     cexp = pos.groupBy("label", "i").agg(F.avg("x").alias("m"))
@@ -547,14 +547,14 @@ def _ivf_scored(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
         ).alias("c")
     )
-    cn = cent.withColumn("cnrm", vectors.l2_norm(F.col("c")))
+    cn = cent.withColumn("cnrm", vectors.l2_norm("c"))
     q = n.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
     )
     cos_qc = F.round(
-        vectors.cosine(F.col("qv"), F.col("c"), F.col("qnrm"), F.col("cnrm")), 6
+        vectors.cosine("qv", "c", F.col("qnrm"), F.col("cnrm")), 6
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("cent_sim"), F.asc("label"))
     qc = (
@@ -567,7 +567,7 @@ def _ivf_scored(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         )
     )
     cos_qn = F.round(
-        vectors.cosine(F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm")), 6
+        vectors.cosine("qv", "v", F.col("qnrm"), F.col("nrm")), 6
     )
     return n.join(
         F.broadcast(qc),
