@@ -160,9 +160,38 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def _est_scan_partitions(spark: SparkSession, path: str) -> int | None:
+    """Python-side estimate of the scan's partition count, replicating
+    FilePartition packing (maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, totalBytes/minPartitionNum))). Only the
+    DECISION `est < cores` must match Spark — spread() uses it to skip
+    a df.rdd.getNumPartitions() round-trip, which forces full physical
+    planning (~0.02-0.1 s) inside every timed plan construction."""
+    try:
+        if os.path.isfile(path):
+            sizes = [os.path.getsize(path)]
+        else:
+            sizes = [
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        if not sizes:
+            return None
+        cores = spark.sparkContext.defaultParallelism
+        open_cost = 4 * 1024 * 1024
+        max_pb = 128 * 1024 * 1024
+        total = sum(s + open_cost for s in sizes)
+        max_split = min(max_pb, max(open_cost, total // max(1, cores)))
+        return max(1, -(-total // max_split))
+    except OSError:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = _read_parquet(spark, _maybe_compact(spark, path) or path)
+    resolved = _maybe_compact(spark, path) or path
+    df = _read_parquet(spark, resolved)
     if name == "events":
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
@@ -178,6 +207,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # cast. Under UTC the cast is a pure type relabel.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    df._graft_scan_est = _est_scan_partitions(spark, resolved)  # type: ignore[attr-defined]
     return df
 
 
@@ -193,6 +223,11 @@ def spread(df: DataFrame) -> DataFrame:
     production scale scans already have ≥ cores partitions and this is
     a no-op — the gate makes the trade explicit, not ambient."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    est = getattr(df, "_graft_scan_est", None)
+    if est is None:
+        # non-load_table input: fall back to asking Spark (forces
+        # physical planning — fine for the one derived-input call site)
+        est = df.rdd.getNumPartitions()
+    if est < target:
         return df.repartition(target)
     return df
