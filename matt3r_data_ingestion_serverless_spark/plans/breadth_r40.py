@@ -84,10 +84,13 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg0 = both.groupBy("node").agg(F.count("*").alias("degree"))
     alive = nodes
     for _ in range(_PEEL_ROUNDS):
-        a = alive.select(F.col("node").alias("an"))
+        # semi-joins with NO broadcast hint: the alive set is
+        # corpus-scaled (one row per surviving node), so a forced
+        # broadcast cannot hold at 100 TB — let the planner pick
+        # (it still auto-broadcasts under the threshold locally)
         live_edges = edges.join(
-            F.broadcast(a), edges.s == F.col("an")
-        ).drop("an").join(F.broadcast(a.withColumnRenamed("an", "bn")), F.col("t") == F.col("bn")).drop("bn")
+            alive.withColumnRenamed("node", "s"), "s", "left_semi"
+        ).join(alive.withColumnRenamed("node", "t"), "t", "left_semi")
         d = (
             live_edges.select(F.col("s").alias("node"))
             .unionAll(live_edges.select("t"))

@@ -147,7 +147,13 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket = ev.select(
         "user_id", F.to_date("ts").alias("day"), "event_type"
     ).distinct()
-    nb = basket.select("user_id", "day").distinct().count()
+    # basket count as a broadcast 1-row aggregate folded into the main
+    # job — the old eager .count() ran a SECOND full events pass (scan +
+    # two distincts, ~0.5 s here, a whole extra corpus pass at scale)
+    # just to inline a literal the plan can carry as a scalar column
+    nb_df = basket.select("user_id", "day").distinct().agg(
+        F.count("*").alias("nb")
+    )
     singles = basket.groupBy("event_type").agg(F.count("*").alias("c"))
     a = basket.select("user_id", "day", F.col("event_type").alias("type_a"))
     b = basket.select("user_id", "day", F.col("event_type").alias("type_b"))
@@ -162,15 +168,16 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(sa), "type_a")
         .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(nb_df))
         .select(
             "type_a",
             "type_b",
             "c_ab",
             "c_a",
             "c_b",
-            round6(F.col("c_ab").cast("double") / F.lit(nb)).alias("support"),
+            round6(F.col("c_ab").cast("double") / F.col("nb")).alias("support"),
             round6(
-                (F.col("c_ab") * F.lit(nb)).cast("double")
+                (F.col("c_ab") * F.col("nb")).cast("double")
                 / (F.col("c_a") * F.col("c_b"))
             ).alias("lift"),
         )

@@ -65,13 +65,27 @@ def exact_median_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     lo, hi, n = bounds.lo, bounds.hi, bounds.n
     target = math.ceil(n / 2.0)
+    # multi-way bisection: probe 7 pivots per pass as ONE conditional-sum
+    # aggregate (the batching the docstring's parenthetical promises) —
+    # the interval shrinks 8x per scan instead of 2x, so the same exact
+    # answer needs log8(domain) ≈ 8 jobs instead of log2(domain) ≈ 23
+    # sequential count jobs. Driver state stays two integers.
+    _WAYS = 8
     while lo < hi:
-        mid = (lo + hi) // 2
-        cnt = v.filter(F.col("c") <= mid).count()
-        if cnt >= target:
-            hi = mid
-        else:
-            lo = mid + 1
+        pivots = sorted({lo + (hi - lo) * i // _WAYS for i in range(1, _WAYS)})
+        counts = v.agg(
+            *[
+                F.sum(F.when(F.col("c") <= p, 1).otherwise(0)).alias(f"c{j}")
+                for j, p in enumerate(pivots)
+            ]
+        ).collect()[0]
+        new_lo, new_hi = lo, hi
+        for j, p in enumerate(pivots):
+            if counts[j] >= target:
+                new_hi = p
+                break
+            new_lo = p + 1
+        lo, hi = new_lo, new_hi
     return spark.createDataFrame(
         [(lo, n)], "median_cents BIGINT, n_values BIGINT"
     )
