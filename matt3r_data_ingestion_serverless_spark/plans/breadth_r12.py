@@ -259,7 +259,9 @@ def ns_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node", (nxt < F.col("cluster_id")).alias("chg"), nxt.alias("cluster_id")
             )
-            .localCheckpoint(eager=True)
+            # lazy: the count materializes the checkpoint — one job per
+            # round instead of two (see curation._dup_clusters_from_pairs)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter("chg").count()
         labels = new_labels.drop("chg")

@@ -307,7 +307,11 @@ def _dup_clusters_from_pairs(pairs: DataFrame) -> DataFrame:
                 (nxt < F.col("cluster_id")).alias("chg"),
                 nxt.alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)  # cut lineage: plan size stays O(1) per round
+            # LAZY checkpoint + count: the count action materializes the
+            # checkpoint, so each round runs ONE job instead of an eager
+            # materialization job followed by a count job (lineage is
+            # still cut — plan size stays O(1) per round)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter("chg").count()
         labels = new_labels.drop("chg")
