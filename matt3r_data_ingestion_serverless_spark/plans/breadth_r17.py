@@ -314,13 +314,17 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    # NO broadcast hints on the degree table: it is one row per node —
+    # corpus-scaled, so a forced broadcast cannot hold at 100 TB (the
+    # graph_kcore_peel r09 fix). The planner still auto-broadcasts under
+    # threshold locally; at scale these become plain shuffle joins.
     de = (
         edges.join(
-            F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("x"))),
+            deg.select(F.col("node").alias("src"), F.col("d").alias("x")),
             "src",
         )
         .join(
-            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))),
+            deg.select(F.col("node").alias("dst"), F.col("d").alias("y")),
             "dst",
         )
         .select("x", "y")

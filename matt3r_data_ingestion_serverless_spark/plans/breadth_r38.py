@@ -81,6 +81,15 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def normalize(raw: DataFrame) -> DataFrame:
+        # Checkpoint the half-step's raw scores FIRST: `raw` is consumed
+        # twice (the max subquery and the projection), and each of the
+        # four chained half-steps consumed its predecessor's WHOLE plan
+        # twice more — the returned plan held 178 Exchanges / 96 scans /
+        # 276 aggregates of duplicated subtrees (measured, r10). With
+        # the lazy checkpoint each half-step is one join + one hash agg
+        # over a materialized table: plan size O(steps), the pagerank
+        # treatment. The 1-row max broadcast is bounded at any scale.
+        raw = raw.localCheckpoint(eager=False)
         mx = raw.agg(F.max("v").alias("mx"))
         return raw.crossJoin(F.broadcast(mx)).select(
             "node", F.expr("(v * 1000000) div mx").alias("v")

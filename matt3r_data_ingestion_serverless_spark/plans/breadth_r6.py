@@ -785,9 +785,13 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited, "node", "left_anti")
             .withColumn("hop", F.lit(lvl))
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint + count: the emptiness probe materializes
+            # the checkpoint, so each round runs ONE job instead of an
+            # eager materialization job followed by an isEmpty job
+            # (lineage still cut — r09's label-propagation fusion)
+            .localCheckpoint(eager=False)
         )
-        if frontier.isEmpty():
+        if frontier.count() == 0:
             break
         visited = visited.union(frontier)
     return visited.select(

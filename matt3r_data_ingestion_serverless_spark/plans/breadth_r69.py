@@ -34,7 +34,7 @@ from matt3r_data_ingestion_serverless_spark.sources.tables import load_table
 # batch  = the lowest decile of the keyspace (o_orderkey <= max/10), price
 #          bumped by 1000.0 and status 'U'; rows with o_custkey % 7 = 0
 #          are DELETEs. The batch is a contiguous key slice on purpose:
-#          the base is written repartitionByRange(16, k), so the manifest
+#          the base is written as 16 key-range-clustered files, so the manifest
 #          prunes ~14/16 data files from the merge — the property that
 #          makes a 100 TB merge cost O(batch), not O(table).
 
@@ -52,10 +52,9 @@ def _base_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _key_cut(spark: SparkSession, sf_dir: str) -> int:
-    """floor(max(o_orderkey)/10), straight from the parquet FOOTER —
-    int64 column stats are exact, so this equals the oracle's
-    data-derived cut without spending a Spark job on a 1-row agg (the
+def _key_minmax(sf_dir: str) -> tuple[int, int]:
+    """Exact [min, max] of o_orderkey straight from the parquet FOOTER —
+    int64 column stats are exact, so this costs zero Spark jobs (the
     same stats discipline the lakehouse manifests use)."""
     import os
 
@@ -65,11 +64,17 @@ def _key_cut(spark: SparkSession, sf_dir: str) -> int:
     idx = next(
         i for i in range(meta.num_columns) if meta.schema.column(i).name == "o_orderkey"
     )
-    mx = max(
-        meta.row_group(rg).column(idx).statistics.max
-        for rg in range(meta.num_row_groups)
-    )
-    return int(mx) // 10
+    stats = [
+        meta.row_group(rg).column(idx).statistics for rg in range(meta.num_row_groups)
+    ]
+    return int(min(s.min for s in stats)), int(max(s.max for s in stats))
+
+
+def _key_cut(spark: SparkSession, sf_dir: str) -> int:
+    """floor(max(o_orderkey)/10) from the footer stats — equals the
+    oracle's data-derived cut without spending a Spark job on a 1-row
+    agg."""
+    return _key_minmax(sf_dir)[1] // 10
 
 
 def _batch_df(spark: SparkSession, sf_dir: str, cut: int) -> DataFrame:
@@ -86,21 +91,40 @@ def _batch_df(spark: SparkSession, sf_dir: str, cut: int) -> DataFrame:
 
 
 def _build_table(spark: SparkSession, sf_dir: str) -> tuple[LakehouseTable, str, int]:
+    """v1 = 16 key-range-clustered files. The split points come from the
+    orders parquet FOOTER's exact int64 [min, max] (equi-width over a
+    near-uniform keyspace ≈ the old repartitionByRange(16) equi-depth
+    layout), so the create is ONE job — create_bucketed's observe()-
+    stats write — instead of three (range-boundary sampling job + write
+    + per-file stats harvest job). Same manifest contract: 16 files
+    with disjoint k ranges and exact per-file stats; merge pruning
+    behaves identically (the batch decile still touches ~2/16 files)."""
     root = tempfile.mkdtemp(prefix="lakehouse_")
-    tbl = LakehouseTable.create(
-        _base_df(spark, sf_dir).repartitionByRange(16, "k"),
+    lo, hi = _key_minmax(sf_dir)
+    boundaries = sorted({lo + (hi - lo) * i // 16 for i in range(1, 16)})
+    boundaries = [b for b in boundaries if lo < b <= hi]
+    tbl = LakehouseTable.create_bucketed(
+        _base_df(spark, sf_dir),
         root,
+        key="k",
+        boundaries=boundaries,
         stats_cols=["k"],
     )
-    return tbl, root, _key_cut(spark, sf_dir)
+    return tbl, root, hi // 10
 
 
 def _standard_merge(tbl: LakehouseTable, spark: SparkSession, sf_dir: str, cut: int):
+    # source_intervals: the batch is BY CONSTRUCTION the keys in
+    # [min_key, cut] (a filter on the key column), so the caller knows a
+    # complete interval cover without a Spark job — the same contract
+    # cdc_streamed_apply's footer-derived covers use. o_orderkey is a
+    # non-null primary key, so the null-key hazard does not apply.
     tbl.merge(
         _batch_df(spark, sf_dir, cut),
         keys=["k"],
         update_cols=["o_totalprice", "o_orderstatus"],
         delete_condition=F.col("o_custkey") % 7 == 0,
+        source_intervals=[(_key_minmax(sf_dir)[0], cut)],
     )
 
 
@@ -180,16 +204,15 @@ def j6_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference (manifest metadata only). That is the Iceberg/Delta
     merge-cost contract without the package dependency."""
     tbl, root, cut = _build_table(spark, sf_dir)
-    try:
-        tbl.merge(
-            _batch_df(spark, sf_dir, cut),
-            keys=["k"],
-            update_cols=["o_totalprice", "o_orderstatus"],
-            delete_condition=F.col("o_custkey") % 7 == 0,
-        )
-        return _final_select(tbl.read()).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    _standard_merge(tbl, spark, sf_dir, cut)
+    # lazy read over the committed snapshot; the scratch dir lives until
+    # process exit (few MB) instead of paying a localCheckpoint
+    # materialization pass just to rmtree early — the same trade
+    # cdc_streamed_apply documents
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return _final_select(tbl.read())
 
 
 @register(

@@ -60,31 +60,34 @@ def j9_lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     manifest schema on read (operators/lakehouse.py:read) — no old file
     is rewritten, no mergeSchema footer sweep. The oracle is the plain
     full-outer join where target-only rows carry tag NULL."""
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r69 import _key_minmax
+
     tbl, root, cut = _build_table(spark, sf_dir)
-    try:
-        batch = (
-            load_table(spark, sf_dir, "orders")
-            .filter(F.col("o_orderkey") <= cut)
-            .select(
-                F.col("o_orderkey").alias("k"),
-                "o_custkey",
-                F.lit("U").alias("o_orderstatus"),
-                F.concat(F.lit("t"), F.col("o_orderkey").cast("string")).alias("tag"),
-            )
+    batch = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= cut)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.concat(F.lit("t"), F.col("o_orderkey").cast("string")).alias("tag"),
         )
-        tbl.merge(
-            batch,
-            keys=["k"],
-            update_cols=["o_orderstatus", "tag"],
-            evolve_schema=True,
-        )
-        return (
-            tbl.read()
-            .select("k", "o_custkey", "o_orderstatus", "tag")
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    )
+    tbl.merge(
+        batch,
+        keys=["k"],
+        update_cols=["o_orderstatus", "tag"],
+        evolve_schema=True,
+        # batch keys are BY CONSTRUCTION in [min_key, cut] — a complete
+        # cover known without a Spark job (see _standard_merge)
+        source_intervals=[(_key_minmax(sf_dir)[0], cut)],
+    )
+    # lazy read + atexit cleanup — no checkpoint materialization pass
+    # (same trade as cdc_streamed_apply / j6)
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tbl.read().select("k", "o_custkey", "o_orderstatus", "tag")
 
 
 @register("j10_lakehouse_compaction", sql=_MERGED_SQL)
@@ -96,19 +99,19 @@ def j10_lakehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     create → merge → compact. At 100 TB this is the periodic pass that
     keeps streaming-ingest file counts bounded so manifest pruning and
     scan planning stay cheap."""
+    from matt3r_data_ingestion_serverless_spark.plans.breadth_r69 import (
+        _standard_merge,
+    )
+
     tbl, root, cut = _build_table(spark, sf_dir)
-    try:
-        tbl.merge(
-            _batch_df(spark, sf_dir, cut),
-            keys=["k"],
-            update_cols=["o_totalprice", "o_orderstatus"],
-            delete_condition=F.col("o_custkey") % 7 == 0,
-        )
-        tbl.compact(target_files=4)
-        assert [m["operation"] for m in tbl.history()] == ["create", "merge", "compact"]
-        return _final_select(tbl.read()).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    _standard_merge(tbl, spark, sf_dir, cut)
+    tbl.compact(target_files=4)
+    assert [m["operation"] for m in tbl.history()] == ["create", "merge", "compact"]
+    # lazy read + atexit cleanup — no checkpoint materialization pass
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return _final_select(tbl.read())
 
 
 @register("j11_streamed_lakehouse_merge", sql=_MERGED_SQL)
@@ -126,39 +129,40 @@ def j11_streamed_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tbl, root, cut = _build_table(spark, sf_dir)
     stage = tempfile.mkdtemp(prefix="lh_stream_")
-    try:
-        batch = _batch_df(spark, sf_dir, cut)
-        land = f"{stage}/land"
-        for m in range(2):
-            batch.filter(F.col("k") % 2 == m).coalesce(1).write.mode(
-                "append"
-            ).parquet(land)
+    batch = _batch_df(spark, sf_dir, cut)
+    land = f"{stage}/land"
+    for m in range(2):
+        batch.filter(F.col("k") % 2 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
 
-        def apply_batch(bdf: DataFrame, _bid: int) -> None:
-            tbl.merge(
-                bdf,
-                keys=["k"],
-                update_cols=["o_totalprice", "o_orderstatus"],
-                delete_condition=F.col("o_custkey") % 7 == 0,
-            )
-
-        src = (
-            spark.readStream.schema(batch.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(land)
+    def apply_batch(bdf: DataFrame, _bid: int) -> None:
+        tbl.merge(
+            bdf,
+            keys=["k"],
+            update_cols=["o_totalprice", "o_orderstatus"],
+            delete_condition=F.col("o_custkey") % 7 == 0,
         )
-        with _stream_state_partitions(spark):
-            (
-                src.writeStream.foreachBatch(apply_batch)
-                .option("checkpointLocation", f"{stage}/ckpt")
-                .trigger(availableNow=True)
-                .start()
-                .awaitTermination(120)
-            )
-        return _final_select(tbl.read()).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-        shutil.rmtree(stage, ignore_errors=True)
+
+    src = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    with _stream_state_partitions(spark):
+        (
+            src.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", f"{stage}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+    # lazy read + atexit cleanup — no checkpoint materialization pass
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    return _final_select(tbl.read())
 
 
 # ---------------------------------------------------------------------------

@@ -350,9 +350,12 @@ def bom_explosion_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("child").alias("node"),
                 (F.col("units") * F.col("qty")).alias("units"),
             )
-            .localCheckpoint(eager=True)
+            # lazy checkpoint + count: the emptiness probe materializes
+            # it — one job per level instead of ckpt + isEmpty (r09's
+            # label-propagation fusion)
+            .localCheckpoint(eager=False)
         )
-        if frontier.isEmpty():
+        if frontier.count() == 0:
             break
         walk = walk.union(frontier)
     return (

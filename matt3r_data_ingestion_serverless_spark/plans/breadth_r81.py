@@ -157,15 +157,20 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(best.alias("b"), "node", "left")
             .filter(F.col("b.dist").isNull() | (F.col("c.dist") < F.col("b.dist")))
             .select("node", F.col("c.dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            # lazy checkpoint + count: the emptiness probe materializes
+            # it — one job per round instead of ckpt + isEmpty (r09's
+            # label-propagation fusion)
+            .localCheckpoint(eager=False)
         )
-        if frontier.isEmpty():
+        if frontier.count() == 0:
             break
         best = (
             best.union(frontier)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            # lazy: materialized by the NEXT round's frontier count (or
+            # the final action) — lineage still cut, one fewer job
+            .localCheckpoint(eager=False)
         )
     return best.select(F.col("node").alias("doc_id"), "dist")
 
@@ -223,9 +228,10 @@ def graph_topo_longest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("node")
             .agg(F.max("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            # lazy checkpoint + count: one job per level (see sssp above)
+            .localCheckpoint(eager=False)
         )
-        if frontier.isEmpty():
+        if frontier.count() == 0:
             break
         acc = acc.union(frontier.withColumn("lvl", F.lit(lvl)))
     return acc.groupBy("node").agg(

@@ -240,10 +240,16 @@ def ns_greedy_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # LAZY checkpoints throughout the greedy loop (r09's fusion pattern):
+    # each checkpoint still truncates the plan (round r scans rem_{r-1},
+    # not a growing expression) and still materializes exactly once (the
+    # RDD is cached on first computation; the top-1 and the remainder
+    # join read the same cache), but no per-round materialization JOB is
+    # launched — the final union drives the whole 3-round cascade.
     rem = (
         _with_hashed_shingles(docs)
         .select("doc_id", F.col("sh").alias("rem"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     picks = []
     for rnd in range(1, _COVER_ROUNDS + 1):
@@ -251,7 +257,7 @@ def ns_greedy_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             rem.select("doc_id", "rem", F.size("rem").alias("gain"))
             .orderBy(F.desc("gain"), F.asc("doc_id"))
             .limit(1)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         picks.append(
             win.select(F.lit(rnd).alias("pick_round"), "doc_id", F.col("gain"))
@@ -266,7 +272,7 @@ def ns_greedy_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(
                     "doc_id", F.array_except("rem", "w_sh").alias("rem")
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
     out = picks[0]
     for p in picks[1:]:

@@ -120,11 +120,14 @@ def graph_local_dominant_matching(spark: SparkSession, sf_dir: str) -> DataFrame
             .join(vb, "doc_b")
             .filter((F.col("ord") == F.col("mo_a")) & (F.col("ord") == F.col("mo_b")))
             .select("doc_a", "doc_b")
-            .localCheckpoint(eager=True)
+            # lazy checkpoint + count: the emptiness probe materializes
+            # it — one job instead of ckpt + isEmpty per round (r09's
+            # label-propagation fusion)
+            .localCheckpoint(eager=False)
         )
         picked = sel.select(F.lit(rnd).alias("round"), "doc_a", "doc_b")
         out = picked if out is None else out.union(picked)
-        if sel.isEmpty():
+        if sel.count() == 0:
             break
         matched = (
             sel.select(F.col("doc_a").alias("node"))
@@ -137,9 +140,9 @@ def graph_local_dominant_matching(spark: SparkSession, sf_dir: str) -> DataFrame
             )
             .join(matched.withColumnRenamed("node", "doc_b"), "doc_b", "left_anti")
             .select("doc_a", "doc_b", "ord")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if edges.isEmpty():
+        if edges.count() == 0:
             break
     return out
 

@@ -253,11 +253,16 @@ def graph_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("e.dst").alias("node"), (1 - F.col("f.par")).alias("par"))
             .distinct()
             .join(visited, ["node", "par"], "left_anti")
-            .localCheckpoint(eager=True)
+            # lazy checkpoint + count: the emptiness probe materializes
+            # it — one job instead of ckpt + isEmpty per round (r09's
+            # label-propagation fusion)
+            .localCheckpoint(eager=False)
         )
-        if frontier.isEmpty():
+        if frontier.count() == 0:
             break
-        visited = visited.union(frontier).localCheckpoint(eager=True)
+        # lazy: materialized by the NEXT round's frontier count (or the
+        # final aggregate) — lineage still cut, one fewer job per round
+        visited = visited.union(frontier).localCheckpoint(eager=False)
     return visited.groupBy("node").agg(
         (F.max(F.when(F.col("par") == 0, 1).otherwise(0)) == 1).alias("even_reach"),
         (F.max(F.when(F.col("par") == 1, 1).otherwise(0)) == 1).alias("odd_reach"),

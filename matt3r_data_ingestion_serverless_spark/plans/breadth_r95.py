@@ -58,19 +58,31 @@ def exact_median_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select(F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        # lazy: the bounds aggregate right below materializes it — one
+        # job instead of ckpt + agg (r09's label-propagation fusion)
+        .localCheckpoint(eager=False)
     )
     bounds = v.agg(
         F.min("c").alias("lo"), F.max("c").alias("hi"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
     lo, hi, n = bounds.lo, bounds.hi, bounds.n
     target = math.ceil(n / 2.0)
-    # multi-way bisection: probe 7 pivots per pass as ONE conditional-sum
+    # multi-way bisection: probe 63 pivots per pass as ONE conditional-sum
     # aggregate (the batching the docstring's parenthetical promises) —
-    # the interval shrinks 8x per scan instead of 2x, so the same exact
-    # answer needs log8(domain) ≈ 8 jobs instead of log2(domain) ≈ 23
-    # sequential count jobs. Driver state stays two integers.
-    _WAYS = 8
+    # the interval shrinks 64x per scan instead of 2x, so the same exact
+    # answer needs log64(domain) ≈ 3 jobs instead of log2(domain) ≈ 23
+    # sequential count jobs (r09 ran 8-way ≈ 8 jobs; the conditional sums
+    # are map-side and 63 of them cost the same scan as 7). Driver state
+    # stays two integers.
+    #
+    # Degenerate tail intervals (hi - lo < _WAYS): the pivot set
+    # comprehension collapses duplicates and can include lo itself; both
+    # are harmless — a pivot equal to lo either pins new_hi = lo (count
+    # already ≥ target) or advances new_lo = lo + 1, so every pass still
+    # strictly shrinks [lo, hi] and the invariant (answer ∈ [lo, hi],
+    # CDF(hi) ≥ target) is untouched; the interval just shrinks by less
+    # than 64x on the last pass.
+    _WAYS = 64
     while lo < hi:
         pivots = sorted({lo + (hi - lo) * i // _WAYS for i in range(1, _WAYS)})
         counts = v.agg(
@@ -81,7 +93,10 @@ def exact_median_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
         new_lo, new_hi = lo, hi
         for j, p in enumerate(pivots):
-            if counts[j] >= target:
+            # select by alias, not position: the c{j} aliases are bound
+            # to sorted-pivot enumeration order above — name access keeps
+            # that binding explicit (ADVICE r09 #4)
+            if counts[f"c{j}"] >= target:
                 new_hi = p
                 break
             new_lo = p + 1

@@ -133,7 +133,9 @@ def ml_boosting_two_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = pu.agg((F.sum("y") / F.count(F.lit(1))).alias("f0"))
     cur = pu.join(F.broadcast(base)).select(
         "uid", "x", (F.col("y") - F.col("f0")).alias("r")
-    ).localCheckpoint(eager=True)
+    # lazy checkpoint: the rmse aggregate right below materializes it —
+    # one job instead of ckpt + collect (r09's label-propagation fusion)
+    ).localCheckpoint(eager=False)
 
     def fit_stump(df: DataFrame) -> DataFrame:
         w = Window.orderBy("x", "uid").rowsBetween(Window.unboundedPreceding, 0)
@@ -176,26 +178,30 @@ def ml_boosting_two_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_l",
                 "mean_r",
             )
-            .localCheckpoint(eager=True)
         )
 
     rmses = [cur.agg(F.sqrt(F.sum(F.col("r") * F.col("r")) / F.count(F.lit(1)))).collect()[0][0]]
     thrs = []
     for _ in range(2):
-        s = fit_stump(cur)
-        srow = s.collect()[0]
+        # The stump was ALREADY collected for the report; inline its
+        # three bounded scalars as literals instead of checkpointing a
+        # 1-row DataFrame and re-attaching it with a broadcast cross
+        # join (the pagerank scalar-fold, r09) — same IEEE doubles
+        # (F.lit round-trips the collected float bit-exactly), two
+        # fewer jobs per round and no 1-row exchange in the plan.
+        srow = fit_stump(cur).collect()[0]
         thrs.append(srow.thr)
-        cur = cur.crossJoin(F.broadcast(s)).select(
+        cur = cur.select(
             "uid",
             "x",
             (
                 F.col("r")
                 - _BOOST_NU
-                * F.when(F.col("x") <= F.col("thr"), F.col("mean_l")).otherwise(
-                    F.col("mean_r")
-                )
+                * F.when(
+                    F.col("x") <= F.lit(srow.thr), F.lit(srow.mean_l)
+                ).otherwise(F.lit(srow.mean_r))
             ).alias("r"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         rmses.append(
             cur.agg(
                 F.sqrt(F.sum(F.col("r") * F.col("r")) / F.count(F.lit(1)))

@@ -825,8 +825,16 @@ def ns_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     tok = _pin(tok)
     df_t = tok.groupBy("term").agg(F.count("*").alias("df"))
-    vocab = df_t.orderBy(F.desc("df"), F.asc("term")).limit(PMI_VOCAB_K)
-    vt = tok.join(F.broadcast(vocab.select("term")), "term")
+    # lazy checkpoints (r09 fusion pattern): vocab feeds THREE consumers
+    # (the vt semi-filter, va, vb) and vt feeds BOTH sides of the
+    # co-occurrence self-join — without the plan cut each branch carried
+    # the whole explode+distinct+top-k subtree again (30 Exchanges in
+    # the returned plan, measured r10). Each checkpoint materializes
+    # once inside the final job's cascade; no extra job is launched.
+    vocab = df_t.orderBy(F.desc("df"), F.asc("term")).limit(PMI_VOCAB_K).localCheckpoint(
+        eager=False
+    )
+    vt = tok.join(F.broadcast(vocab.select("term")), "term").localCheckpoint(eager=False)
     n = docs.agg(F.count_distinct("doc_id").cast("double").alias("n"))
     a, b = vt.alias("a"), vt.alias("b")
     pair = (

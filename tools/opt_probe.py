@@ -1,4 +1,5 @@
-"""Round-9 optimization probe: per-query cost decomposition + plan capture.
+"""Optimization probe (r09, extended r10): per-query cost decomposition
++ plan capture + Spark JOB census.
 
 For each selected query, in ONE session (same confs as bench.py's
 get_spark) measure:
@@ -7,7 +8,9 @@ get_spark) measure:
               construction (this is INSIDE bench.py's timed window, so
               driver-side construction cost is real bench seconds);
 - t_exec    : min over N noop-sink runs (the bench's timed action);
-- jobs      : Spark jobs triggered by one noop run (statusTracker delta);
+- jobs      : Spark jobs triggered by one full construct+noop run
+              (statusTracker delta — the serialized-job-count currency
+              for the iterative/checkpoint families, VERDICT r09 #2);
 - plan      : .explain("formatted") text, optionally dumped to
               plans/r09/<name>_{before,after}.txt;
 - exchanges / pythonevals / scans: plan-shape counters grepped from the
@@ -15,9 +18,11 @@ get_spark) measure:
 
 Usage:
   python tools/opt_probe.py [--sf DIR] [--tag before|after] [--dump]
-                            [--runs N] QUERY_REGEX
+                            [--runs N] [--plandir plans/r10]
+                            [--jobs-out FILE.json] QUERY_REGEX
 Writes a JSON summary line per query to stdout; plans land in
-plans/r09/ when --dump is given.
+--plandir (default plans/r10) when --dump is given; --jobs-out writes
+the job census map {query: {jobs, t_build, t_total_min, ...}}.
 """
 
 from __future__ import annotations
@@ -66,6 +71,8 @@ def main() -> None:
     ap.add_argument(
         "--conf", action="append", default=[], help="extra spark conf k=v (A/B testing)"
     )
+    ap.add_argument("--plandir", default=None, help="plan dump dir (default plans/r10)")
+    ap.add_argument("--jobs-out", default=None, help="write job-census JSON to this path")
     args = ap.parse_args()
 
     from matt3r_data_ingestion_serverless_spark import get_spark
@@ -81,7 +88,7 @@ def main() -> None:
         sys.exit(1)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plandir = os.path.join(repo, "plans", "r09")
+    plandir = args.plandir or os.path.join(repo, "plans", "r10")
     os.makedirs(plandir, exist_ok=True)
 
     # warm the session (codegen + file listing) on the first query once
@@ -111,13 +118,21 @@ def main() -> None:
         rec = {"query": name, "t_build": round(t_build, 4), **shape}
         if not args.no_exec:
             execs = []
-            jobs_before = len(tracker.getJobIdsForGroup(None) or [])
             for i in range(args.runs):
                 spark.catalog.clearCache()
+                # count the jobs of run 0 under a unique job group so
+                # warm-up / GC / other runs can't pollute the census
+                group = f"probe-{name}-{i}"
+                spark.sparkContext.setJobGroup(group, name)
                 t0 = time.perf_counter()
                 df2 = fn(spark, args.sf)
                 df2.write.format("noop").mode("overwrite").save()
                 execs.append(time.perf_counter() - t0)
+                if i == 0:
+                    # streaming micro-batch jobs run on their own thread
+                    # (job group is thread-local) — the census covers the
+                    # driver-thread batch jobs, which is the loop currency
+                    rec["jobs"] = len(tracker.getJobIdsForGroup(group) or [])
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
             rec["t_total_min"] = round(min(execs), 4)
@@ -128,6 +143,9 @@ def main() -> None:
     if not args.no_exec:
         tot = sum(r["t_total_min"] for r in out_rows)
         print(f"# total(min) over {len(out_rows)} queries: {tot:.2f}s", flush=True)
+    if args.jobs_out:
+        with open(args.jobs_out, "w") as f:
+            json.dump({r["query"]: r for r in out_rows}, f, indent=1)
     spark.stop()
 
 
